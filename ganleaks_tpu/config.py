@@ -1,0 +1,288 @@
+"""Typed configuration tree.
+
+The reference duplicates an identical argparse + ``--local_config`` YAML
+override + setattr loop in all nine entry scripts (e.g. ``attack_models/
+fbb.py:182-202``, ``gan_models/dcgan/train_torch.py:178-197``), with
+``type=bool`` flags that are truthy for any string and grid sweeps expanded by
+``itertools.product`` (``gan_models/dcgan/privDCGAN.py:73-92``). Here the
+whole surface is one typed dataclass tree with a single YAML loader and a
+sweep expander, shared by every CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Sequence, Type, TypeVar
+
+import yaml
+
+T = TypeVar("T")
+
+
+# ---------------------------------------------------------------------------
+# loading / overriding
+# ---------------------------------------------------------------------------
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Best-effort coercion of YAML values onto dataclass field types."""
+    if value is None:
+        return None
+    origin = getattr(typ, "__origin__", None)
+    if origin in (list, tuple, Sequence):
+        inner = typ.__args__[0] if getattr(typ, "__args__", None) else None
+        seq = [(_coerce(v, inner) if inner else v) for v in value]
+        return tuple(seq) if origin is tuple else seq
+    if typ is bool:
+        if isinstance(value, str):
+            return value.strip().lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if typ in (int, float, str):
+        return typ(value)
+    return value
+
+
+def apply_overrides(cfg: T, overrides: dict[str, Any]) -> T:
+    """Return a copy of ``cfg`` with ``overrides`` applied (unknown keys error).
+
+    Unlike the reference's ``update_args`` (``fbb.py:182-184``), which silently
+    setattr's arbitrary keys, unknown keys raise so typos fail loudly.
+    """
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    clean: dict[str, Any] = {}
+    for key, val in overrides.items():
+        if key not in fields:
+            raise KeyError(
+                f"unknown config key {key!r} for {type(cfg).__name__}; "
+                f"valid keys: {sorted(fields)}"
+            )
+        clean[key] = _coerce(val, _resolve_type(type(cfg), key))
+    return dataclasses.replace(cfg, **clean)
+
+
+def _resolve_type(cls: type, name: str) -> Any:
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    return hints.get(name, Any)
+
+
+def load_config(cls: Type[T], yaml_path: str | None = None,
+                overrides: dict[str, Any] | None = None) -> T:
+    """Build a config: dataclass defaults <- YAML file <- explicit overrides."""
+    cfg = cls()
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = apply_overrides(cfg, data)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def expand_grid(grid: dict[str, Any]) -> Iterator[dict[str, Any]]:
+    """Expand a {key: list-of-values} YAML into per-experiment override dicts.
+
+    Mirrors the ``itertools.product`` sweep of ``privDCGAN.py:73-92`` /
+    ``privPGGAN.py:248-266`` as a library function. Scalar values are treated
+    as single-element axes.
+    """
+    keys = list(grid)
+    axes = [v if isinstance(v, (list, tuple)) else [v] for v in grid.values()]
+    for combo in itertools.product(*axes):
+        yield dict(zip(keys, combo))
+
+
+def sweep_tag(overrides: dict[str, Any]) -> tuple[str, str]:
+    """(keys, values) path components for a sweep run, matching the
+    reference's ``'-'.join(keys)`` / ``'-'.join(values)`` layout
+    (``privDCGAN.py:80,92``)."""
+    return "-".join(overrides), "-".join(str(v) for v in overrides.values())
+
+
+# ---------------------------------------------------------------------------
+# attack / eval configs (reference: attack_models/fbb.py:18-38, eval_roc.py:43-55)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AttackConfig:
+    """fbb attack configuration (reference ``attack_models/fbb.py:18-38`` and
+    ``config_attack_fbb.yaml``)."""
+
+    exp_name: str = "debug"
+    syn_data_path: str | None = None
+    pos_data_dir: str = "data/miniCelebA/train"
+    neg_data_dir: str = "data/miniCelebA/test"
+    data_num: int = 20000          # number of query images considered
+    resolution: int = 64
+    K: int = 1                     # reference config K=1; its --K is unused (always 1-NN)
+    BATCH_SIZE: int = 64           # reference kNN batch (only used in strict-parity mode)
+    distance: str = "l2-lpips"     # 'l2' | 'l2-lpips'  (attack_models/utils.py:161-169)
+    lpips_net: str = "vgg"         # 'vgg' | 'alex'
+    lpips_weights: str | None = None  # npz produced by ops/lpips/convert.py
+    hyperparameter_search: bool = False
+    params: str | None = None
+    save_root: str = "fbb_attack"
+    engine: str = "gemm"           # 'gemm' (fast, MXU) | 'exact' (reference math)
+    dtype: str = "float32"         # embedding dtype for the gemm engine
+    query_block: int = 2048        # query tile streamed on device
+    syn_block: int = 8192          # generated-set tile streamed on device
+    drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE
+    save_plots: bool = True        # the 20 closest-pair PNGs (fbb.py:91-106)
+    wandb: str | None = None
+    seed: int = 0
+
+
+@dataclass
+class EvalConfig:
+    """ROC evaluation (reference ``attack_models/eval_roc.py:43-55``)."""
+
+    result_load_dir: str | None = None
+    attack_type: str = "fbb"                 # 'fbb' | 'pbb' | 'wb'
+    reference_load_dir: str | None = None    # optional calibration scores
+    save_dir: bool = True
+    precision_threshold: float = -0.14       # hardcoded in eval_roc.py:21-23
+    wandb: str | None = None
+
+
+# ---------------------------------------------------------------------------
+# victim model configs (reference: gan_models/*)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TrainCommon:
+    """Fields shared by every victim trainer (mirrors the repeated argparse
+    block, e.g. ``gan_models/dcgan/train_torch.py:23-50``)."""
+
+    data_path: str = "data/train"
+    image_size: int = 64
+    nc: int = 3
+    batch_size: int = 128
+    num_epochs: int = 5
+    seed: int = 0
+    save_model: bool = True
+    saved_model_name: str | None = None
+    training: bool = True
+    generate: bool = True
+    PATH: str = "model_save"
+    PATH_syn_data: str = "syn_data"
+    wandb: str | None = None
+    # TPU additions
+    mesh_shape: tuple[int, ...] = (1,)   # data-parallel mesh over the batch axis
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"       # 'bfloat16' for PGGAN-style mixed precision
+
+
+@dataclass
+class DCGANConfig(TrainCommon):
+    """``gan_models/dcgan/train_torch.py:23-50`` + ``dcgan_config.yaml``."""
+
+    lr: float = 2e-4
+    nz: int = 100
+    ngf: int = 64
+    ndf: int = 64
+    beta1: float = 0.5
+    beta2: float = 0.999
+    num_generated: int = 2040
+
+
+@dataclass
+class WGANGPConfig(TrainCommon):
+    """``gan_models/wgangp/train.py:24-53``."""
+
+    lr: float = 4e-4
+    nz: int = 100
+    ngf: int = 64
+    ndf: int = 64
+    beta1: float = 0.0
+    beta2: float = 0.9
+    critic_iter: int = 5
+    lambda_gp: float = 10.0
+    num_generated: int = 2040
+
+
+@dataclass
+class PGGANConfig(TrainCommon):
+    """``gan_models/pggan/train.py:24-48`` + ``pggan_config.yaml``."""
+
+    lr: float = 1e-3
+    nz: int = 512
+    in_channels: int = 512
+    start_img_size: int = 4
+    batch_sizes: tuple[int, ...] = (32, 32, 32, 32, 32)  # per resolution
+    num_epochs: int = 30          # per resolution (PROGRESSIVE_EPOCHS, train.py:78)
+    lambda_gp: float = 10.0
+    drift: float = 0.001          # 0.001 * E[critic(real)^2] (train.py:116)
+    num_generated: int = 10000
+    compute_dtype: str = "bfloat16"  # reference uses fp16 autocast (train.py:107)
+
+
+@dataclass
+class VAEGANConfig(TrainCommon):
+    """``gan_models/vaegan/train.py:27-38``."""
+
+    exp_name: str = "vaegan_default"
+    batch_size: int = 64
+    z_dim: int = 100
+    d: int = 64
+    nepoch: int = 1000
+    steps_per_epoch: int = 78     # 5000 // batch_size (train.py:297)
+    num_samples: int = 20000      # sample.py:17
+    checkpoint_every: int = 10    # train.py:401
+
+
+@dataclass
+class MedGANConfig(TrainCommon):
+    """``gan_models/medgan/train.py:23-61``."""
+
+    DATASETPATH: str = "data/mini_MIMIC_III/mini_MIMIC_III.csv"
+    n_epochs: int = 1000
+    n_epochs_pretrain: int = 100
+    batch_size: int = 2000
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    b1: float = 0.9
+    b2: float = 0.999
+    latent_dim: int = 128
+    hidden_gen: int = 128
+    hidden_disc1: int = 128
+    hidden_disc2: int = 256
+    binary: bool = True
+    minibatch_averaging: bool = True
+    generate_N: int = 100
+
+
+@dataclass
+class PrivGANConfig:
+    """privGAN extras shared by privDCGAN/privPGGAN
+    (``privDCGAN.py:52-53``, ``privPGGAN.py`` grid)."""
+
+    N_splits: int = 2
+    privacy_ratio: float = 0.5
+    dp_delay: int = 100            # epoch gate for DCGAN; resolution gate for PGGAN
+    disc_epochs: int = 2           # private-discriminator pretrain epochs
+
+
+# ---------------------------------------------------------------------------
+# data-prep / FID configs (reference: z_split.py:10-28, z_fid.py:320-331)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SplitConfig:
+    num_images: int = 10020
+    identity_annotations: str = "data/identities_ann.txt"
+    input_dir: str = "data/img_align_celeba"
+    output_dir0: str = "data/train"
+    output_dir1: str = "data/celebAhuge_positive"
+    output_dir2: str = "data/celebAhuge_negative"
+    img_size: int = 64
+    num_same_id: int = 30
+    seed: int = 0
+
+
+@dataclass
+class FIDConfig:
+    batch_size: int = 50           # z_fid.py:68
+    weights: str | None = None     # converted InceptionV3 weights npz
+    sqrtm: str = "newton-schulz"   # 'newton-schulz' | 'eigh' | 'scipy'

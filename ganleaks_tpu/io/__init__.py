@@ -1,0 +1,15 @@
+from ganleaks_tpu.io.images import (  # noqa: F401
+    get_filepaths_from_dir,
+    load_image_dir,
+    read_image,
+    read_image_center_crop,
+    save_png,
+    to_uint8,
+)
+from ganleaks_tpu.io.artifacts import (  # noqa: F401
+    check_folder,
+    dump_params,
+    save_files,
+    timestamp_dir,
+    write_synthetic_artifacts,
+)

@@ -1,0 +1,29 @@
+"""Test harness setup.
+
+Tests run on an 8-device virtual CPU mesh (the distributed-without-a-cluster
+strategy from SURVEY.md §4): XLA host-platform device multiplication must be
+configured before jax initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # for late importers
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# jax may already be imported (the image's sitecustomize registers a TPU
+# backend at interpreter start), in which case JAX_PLATFORMS was read at
+# import time — override through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0)
