@@ -1,0 +1,98 @@
+"""Attack evaluation: ROC / AUC / AP / precision (+ optional calibration).
+
+Reference: ``attack_models/eval_roc.py``. Scores are negated losses
+(``eval_roc.py:78``). The reference's calibration branch crashes (it unpacks
+5 of ``plot_roc``'s 6 return values, ``eval_roc.py:101``) — fixed here, the
+divergence is recorded in DIVERGENCES.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ganleaks_tpu.config import EvalConfig
+from ganleaks_tpu.ops.roc import RocResult, roc_curve_auc
+from ganleaks_tpu.utils.logging import MetricsLogger
+
+
+def load_losses(result_dir: str, attack_type: str) -> tuple[np.ndarray, np.ndarray]:
+    """fbb losses keep their (N, 1) shape; other attack types flatten
+    (``eval_roc.py:67-72``)."""
+    pos = np.load(os.path.join(result_dir, "pos_loss.npy"))
+    neg = np.load(os.path.join(result_dir, "neg_loss.npy"))
+    if attack_type != "fbb":
+        pos, neg = pos.flatten(), neg.flatten()
+    return pos, neg
+
+
+def evaluate(cfg: EvalConfig, pos_loss: np.ndarray | None = None,
+             neg_loss: np.ndarray | None = None) -> dict:
+    """Compute metrics; optionally calibrate against a reference model's
+    losses (``eval_roc.py:86-103``: calibrated score = -(loss - ref_loss))."""
+    if pos_loss is None:
+        pos_loss, neg_loss = load_losses(cfg.result_load_dir, cfg.attack_type)
+    pos_loss = np.asarray(pos_loss, np.float32).reshape(-1)
+    neg_loss = np.asarray(neg_loss, np.float32).reshape(-1)
+
+    res: RocResult = roc_curve_auc(jnp.asarray(-pos_loss),
+                                   jnp.asarray(-neg_loss),
+                                   cfg.precision_threshold)
+    out = {"auc": float(res.auc), "ap": float(res.ap),
+           "precision": float(res.precision),
+           "fpr": np.asarray(res.fpr), "tpr": np.asarray(res.tpr)}
+
+    if cfg.reference_load_dir is not None:
+        pos_ref, neg_ref = load_losses(cfg.reference_load_dir,
+                                       cfg.attack_type)
+        pos_ref = np.asarray(pos_ref, np.float32).reshape(-1)
+        neg_ref = np.asarray(neg_ref, np.float32).reshape(-1)
+        n_pos = min(len(pos_loss), len(pos_ref))
+        n_neg = min(len(neg_loss), len(neg_ref))
+        pos_cal = pos_loss[:n_pos] - pos_ref[:n_pos]
+        neg_cal = neg_loss[:n_neg] - neg_ref[:n_neg]
+        cal = roc_curve_auc(jnp.asarray(-pos_cal), jnp.asarray(-neg_cal),
+                            cfg.precision_threshold)
+        out.update({"auc_calibrated": float(cal.auc),
+                    "ap_calibrated": float(cal.ap)})
+    return out
+
+
+def evaluate_and_plot(cfg: EvalConfig) -> dict:
+    """CLI flavor: metrics + roc.png + histogram, wandb-optional
+    (``eval_roc.py:105-121``, ``:28-37``)."""
+    out = evaluate(cfg)
+    logger = MetricsLogger(wandb_project=cfg.wandb)
+    logger.log({k: v for k, v in out.items()
+                if not isinstance(v, np.ndarray)})
+    if cfg.save_dir and cfg.result_load_dir:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.plot(out["fpr"], out["tpr"],
+                 label=f"{cfg.attack_type} attack, auc={out['auc']:.3f}, "
+                       f"ap={out['ap']:.3f}")
+        plt.legend(loc="lower right")
+        plt.xlabel("false positive")
+        plt.ylabel("true positive")
+        plt.title("ROC curve")
+        plt.savefig(os.path.join(cfg.result_load_dir, "roc.png"))
+        plt.close()
+
+        pos, neg = load_losses(cfg.result_load_dir, cfg.attack_type)
+        plt.figure()
+        plt.hist(pos.ravel(), bins=100, alpha=0.5,
+                 weights=np.full(pos.size, 1.0 / pos.size), label="positive")
+        plt.hist(neg.ravel(), bins=100, alpha=0.5,
+                 weights=np.full(neg.size, 1.0 / neg.size), label="negative")
+        plt.legend(loc="upper right")
+        plt.xlabel("distance")
+        plt.ylabel("normalized frequency")
+        plt.savefig(os.path.join(cfg.result_load_dir, "hist.png"))
+        plt.close()
+    logger.close()
+    return out

@@ -1,0 +1,170 @@
+"""Full-black-box membership-inference attack (reference:
+``attack_models/fbb.py``).
+
+For each query image (member 'pos' / non-member 'neg'), the score is the
+negated distance to its nearest neighbor in the generated set under
+``l2`` or ``l2 + 0.2*LPIPS`` (``utils.py:153-177``). The reference runs an
+O(N_q * N_s) python loop nest with a full LPIPS forward per pair and one
+host sync per query (``fbb.py:73-88,156-171``); here the whole search is a
+device-resident blocked matmul over distance embeddings (``ops/distance``,
+``ops/knn``), optionally sharded over the generated-set axis across a TPU
+mesh (``parallel/knn_shard``).
+
+Artifacts (byte-compatible with the reference):
+  ``pos_loss.npy``/``neg_loss.npy``  (N, 1) float64 nearest distances;
+  ``pos_idx.npy``/``neg_idx.npy``    sequential 0..N-1 — the reference
+      saves these counters, not the NN indices (``fbb.py:162,171``; the
+      neg file even reuses ``len(pos_loss)``) — replicated for
+      cross-validation, with the TRUE indices additionally saved as
+      ``pos_nn_idx.npy``/``neg_nn_idx.npy``;
+  closest-pair PNGs for the first 20 queries (``fbb.py:91-106``);
+  ``params.txt``/``params.pkl``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import PIL.Image
+
+from ganleaks_tpu.config import AttackConfig
+from ganleaks_tpu.io.artifacts import check_folder, dump_params, save_files
+from ganleaks_tpu.io.images import load_image_dir, to_uint8
+from ganleaks_tpu.ops.distance import make_embed_fn
+from ganleaks_tpu.ops.knn import knn_argmin_streamed, truncate_to_batches
+from ganleaks_tpu.utils.logging import MetricsLogger, Throughput
+
+
+def resolve_save_dir(cfg: AttackConfig) -> str:
+    """``check_args`` save-dir layout (``fbb.py:42-67``)."""
+    if cfg.params is not None and cfg.hyperparameter_search:
+        subdir = cfg.syn_data_path.rstrip("/")
+        exp_name = cfg.exp_name + "__" + subdir.split("/")[-2]
+        save_dir = os.path.join(os.getcwd(), cfg.save_root, exp_name,
+                                cfg.params)
+    else:
+        save_dir = os.path.join(os.getcwd(), cfg.save_root, cfg.exp_name)
+    return check_folder(save_dir)
+
+
+def build_embed_fn(cfg: AttackConfig, dtype=None):
+    """Distance featurizer for the configured metric."""
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    if cfg.distance == "l2":
+        return make_embed_fn("l2", dtype=dtype)
+    if cfg.distance != "l2-lpips":
+        raise ValueError(f"unknown distance {cfg.distance!r}; "
+                         "expected 'l2' or 'l2-lpips'")
+    from ganleaks_tpu.ops.lpips import (
+        default_lpips_params, load_lpips_params, lpips_embed_fn)
+    if cfg.lpips_weights:
+        params = load_lpips_params(cfg.lpips_weights)
+    else:
+        params = default_lpips_params(cfg.lpips_net)
+    return make_embed_fn("l2-lpips",
+                         lpips_embed_fn(params, weight=0.2, dtype=dtype),
+                         dtype=dtype)
+
+
+def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
+                  neg: np.ndarray, mesh=None,
+                  logger: MetricsLogger | None = None) -> dict:
+    """Run the attack on in-memory NHWC [-1,1] arrays. Returns losses and
+    true NN indices for both query sets."""
+    logger = logger or MetricsLogger(echo=False)
+    embed = build_embed_fn(cfg)
+
+    if cfg.drop_remainder:  # strict parity with fbb.py:77
+        syn = syn[:truncate_to_batches(len(syn), cfg.BATCH_SIZE)]
+
+    syn_j = jnp.asarray(syn)
+    meter = Throughput()
+
+    def search(queries: np.ndarray):
+        q_j = jnp.asarray(queries)
+        if mesh is not None:
+            from ganleaks_tpu.parallel.knn_shard import knn_argmin_sharded
+            d, i = knn_argmin_sharded(embed, q_j, syn_j, mesh,
+                                      engine=cfg.engine,
+                                      q_block=cfg.query_block,
+                                      s_block=cfg.syn_block)
+        else:
+            d, i = knn_argmin_streamed(embed, q_j, syn_j,
+                                       engine=cfg.engine,
+                                       q_block=cfg.query_block,
+                                       s_block=cfg.syn_block)
+        jax.block_until_ready(d)
+        meter.add(len(queries) * len(syn))
+        return np.asarray(d, np.float64), np.asarray(i)
+
+    pos_loss, pos_nn = search(pos)
+    neg_loss, neg_nn = search(neg)
+    logger.log({"query_pairs_per_sec": meter.rate(),
+                "n_syn": len(syn), "n_pos": len(pos), "n_neg": len(neg)})
+    return {"pos_loss": pos_loss, "pos_nn_idx": pos_nn,
+            "neg_loss": neg_loss, "neg_nn_idx": neg_nn,
+            "query_pairs_per_sec": meter.rate()}
+
+
+def plot_closest_images(nn_idx: np.ndarray, queries: np.ndarray,
+                        syn: np.ndarray, save_dir: str, class_type: str,
+                        num: int = 20) -> None:
+    """Query|NN side-by-side PNGs (``fbb.py:91-106``)."""
+    num = min(num, len(queries))
+    for i in range(num):
+        pair = np.concatenate([queries[i], syn[int(nn_idx[i])]], axis=1)
+        PIL.Image.fromarray(to_uint8(pair, drange=(-1, 1))).save(
+            os.path.join(save_dir, f"{i}{class_type}.png"))
+
+
+def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
+    """Full driver incl. the hyperparameter-search directory sweep
+    (``fbb.py:111-179``)."""
+    if cfg.hyperparameter_search:
+        root = cfg.syn_data_path
+        subdirs = sorted(
+            os.path.join(root, o) for o in os.listdir(root)
+            if os.path.isdir(os.path.join(root, o)))
+    else:
+        subdirs = [cfg.syn_data_path]
+
+    results = []
+    for subdir in subdirs:
+        sub_cfg = replace(
+            cfg, syn_data_path=subdir,
+            params=(subdir.rstrip("/").split("/")[-1]
+                    if cfg.hyperparameter_search else cfg.params))
+        save_dir = resolve_save_dir(sub_cfg)
+        dump_params(save_dir, sub_cfg)
+        logger = MetricsLogger(os.path.join(save_dir, "metrics.jsonl"))
+
+        syn = load_image_dir(subdir, sub_cfg.resolution)
+        pos = load_image_dir(sub_cfg.pos_data_dir,
+                             sub_cfg.resolution)[:sub_cfg.data_num]
+        neg = load_image_dir(sub_cfg.neg_data_dir,
+                             sub_cfg.resolution)[:sub_cfg.data_num]
+
+        out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh, logger=logger)
+
+        seq_pos = np.arange(len(out["pos_loss"])).reshape(-1, 1)
+        save_files(save_dir,
+                   ["pos_loss", "pos_idx", "pos_nn_idx"],
+                   [out["pos_loss"].reshape(-1, 1), seq_pos,
+                    out["pos_nn_idx"].reshape(-1, 1)])
+        # reference reuses len(pos_loss) for the neg counter (fbb.py:171)
+        save_files(save_dir,
+                   ["neg_loss", "neg_idx", "neg_nn_idx"],
+                   [out["neg_loss"].reshape(-1, 1), seq_pos,
+                    out["neg_nn_idx"].reshape(-1, 1)])
+
+        if sub_cfg.save_plots:
+            plot_closest_images(out["pos_nn_idx"], pos, syn, save_dir, "pos")
+            plot_closest_images(out["neg_nn_idx"], neg, syn, save_dir, "neg")
+        out["save_dir"] = save_dir
+        results.append(out)
+        logger.close()
+    return results

@@ -1,0 +1,184 @@
+"""LPIPS (net-lin) perceptual distance, JAX-native.
+
+Faithful port of the inference path of the vendored PerceptualSimilarity
+code (``attack_models/lpips_pytorch``):
+
+* inputs in [-1, 1], shifted/scaled per channel by the v0.1 constants
+  (``networks_basic.py:115-116,135-136``);
+* backbone taps unit-normalized per pixel over channels with eps OUTSIDE
+  the sqrt (``util/util.py:70-73``);
+* squared differences 1x1-convolved by the non-negative lin-head weights,
+  spatially averaged, summed over the 5 layers
+  (``networks_basic.py:158-181``).
+
+Two evaluation modes:
+
+* :func:`lpips_pair` — the pairwise form used for parity tests against the
+  reference (identical math, <=1e-5);
+* :func:`lpips_embed` — the factorized form: since every term is a
+  quadratic in the normalized features and the lin weights are >= 0,
+  ``LPIPS(x,y) = ||phi(x) - phi(y)||^2`` with
+  ``phi_l = f_l * sqrt(w_l / (H_l * W_l))`` — this is what makes the whole
+  fbb attack one matmul (see ``ops/knn.py``).
+
+The attack's 0.2 LPIPS coefficient (``attack_models/utils.py:176``) is
+folded into the embedding via ``weight=0.2``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganleaks_tpu.ops.lpips.backbones import (
+    backbone_channels,
+    backbone_features,
+    init_backbone_params,
+)
+
+Array = jax.Array
+
+# v0.1 input normalization constants (networks_basic.py:115-116)
+LPIPS_SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
+LPIPS_SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
+
+_EPS_NORM = 1e-10  # util.normalize_tensor eps (util/util.py:70)
+
+
+def normalize_tensor(feat: Array, eps: float = _EPS_NORM) -> Array:
+    """f / (||f||_c + eps): channel-unit vectors per pixel
+    (``util/util.py:70-73``; channels last here)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(feat), axis=-1, keepdims=True))
+    return feat / (norm + eps)
+
+
+def _scale_input(x: Array) -> Array:
+    """(x - shift) / scale (``networks_basic.py:135-136``)."""
+    return (x - LPIPS_SHIFT.astype(x.dtype)) / LPIPS_SCALE.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_lpips_params(seed: int = 0, net: str = "vgg",
+                      lin_weights: list[np.ndarray] | None = None) -> dict:
+    """Surrogate-backbone LPIPS params (deterministic from seed). If the
+    real lin-head weights are available (they ship with the reference as a
+    7 KB file) pass them via ``lin_weights``; otherwise uniform heads."""
+    key = jax.random.key(seed)
+    convs = init_backbone_params(key, net)
+    chns = backbone_channels(net)
+    if lin_weights is None:
+        lins = [jnp.full((c,), 1.0 / c, jnp.float32) for c in chns]
+    else:
+        lins = [jnp.asarray(w, jnp.float32).reshape(-1) for w in lin_weights]
+    return {"net": net, "convs": convs, "lins": lins}
+
+
+def save_lpips_params(path: str, params: dict) -> None:
+    flat = {"net": np.asarray(params["net"])}
+    for i, c in enumerate(params["convs"]):
+        flat[f"conv{i}/kernel"] = np.asarray(c["kernel"])
+        flat[f"conv{i}/bias"] = np.asarray(c["bias"])
+    for i, l in enumerate(params["lins"]):
+        flat[f"lin{i}"] = np.asarray(l)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_lpips_params(path: str) -> dict:
+    z = np.load(path)
+    net = str(z["net"])
+    convs = []
+    i = 0
+    while f"conv{i}/kernel" in z.files:
+        convs.append({"kernel": jnp.asarray(z[f"conv{i}/kernel"]),
+                      "bias": jnp.asarray(z[f"conv{i}/bias"])})
+        i += 1
+    lins = []
+    i = 0
+    while f"lin{i}" in z.files:
+        lins.append(jnp.asarray(z[f"lin{i}"]))
+        i += 1
+    return {"net": net, "convs": convs, "lins": lins}
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _features(params: dict, x: Array) -> list[Array]:
+    return backbone_features(params["convs"], _scale_input(x), params["net"])
+
+
+def lpips_pair(params: dict, x: Array, y: Array) -> Array:
+    """LPIPS(x, y) for batches (broadcast on the leading axis), the faithful
+    per-layer computation of ``networks_basic.py:134-181``. Inputs NHWC in
+    [-1, 1]."""
+    if x.shape[0] != y.shape[0]:
+        n = max(x.shape[0], y.shape[0])
+        x = jnp.broadcast_to(x, (n,) + x.shape[1:])
+        y = jnp.broadcast_to(y, (n,) + y.shape[1:])
+    fx = _features(params, x)
+    fy = _features(params, y)
+    val = 0.0
+    for fl_x, fl_y, w in zip(fx, fy, params["lins"]):
+        diff = jnp.square(normalize_tensor(fl_x) - normalize_tensor(fl_y))
+        lin = jnp.sum(diff * w.astype(diff.dtype), axis=-1)  # 1x1 conv, no bias
+        val = val + jnp.mean(lin, axis=(1, 2))               # spatial mean
+    return val
+
+
+def lpips_embed(params: dict, x: Array, weight: float = 1.0,
+                dtype=jnp.float32) -> Array:
+    """phi(x): concatenated scaled normalized features, so that
+    ``weight * LPIPS(x, y) == ||phi(x) - phi(y)||^2`` exactly (lin weights
+    are >= 0 for the shipped v0.1 heads; negatives are clamped and would be
+    reported by the converter)."""
+    feats = _features(params, x)
+    parts = []
+    for fl, w in zip(feats, params["lins"]):
+        n, h, wd, _c = fl.shape
+        scale = jnp.sqrt(jnp.maximum(w, 0.0) * (weight / (h * wd)))
+        phi = normalize_tensor(fl) * scale.astype(fl.dtype)
+        parts.append(phi.reshape(n, -1).astype(dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def lpips_embed_fn(params: dict, weight: float = 0.2, dtype=jnp.float32):
+    """Closure for ``ops/distance.make_embed_fn`` ('l2-lpips' distance,
+    ``attack_models/utils.py:166-176``)."""
+    def embed(x: Array) -> Array:
+        return lpips_embed(params, x, weight=weight, dtype=dtype)
+    return embed
+
+
+def reference_lin_weights(net: str = "vgg") -> list[np.ndarray]:
+    """The real v0.1 linear-head weights, converted once from the 7 KB
+    ``pretrained_models/v0.1/vgg.pth`` artifact the reference ships
+    (``dist_model.py:69-75``) and bundled here as npz."""
+    path = os.path.join(os.path.dirname(__file__), "weights",
+                        f"{net}_lin.npz")
+    z = np.load(path)
+    return [z[f"lin{i}"] for i in range(len(z.files))]
+
+
+def default_lpips_params(net: str = "vgg", seed: int = 0) -> dict:
+    """Best available LPIPS params without external files: real lin heads
+    (bundled) + surrogate backbone. Pass a converted npz through
+    ``load_lpips_params`` for the pretrained backbone instead."""
+    try:
+        lins = reference_lin_weights(net)
+    except FileNotFoundError:
+        lins = None
+    return init_lpips_params(seed, net, lin_weights=lins)
+
+
+def embed_dim(params: dict, resolution: int) -> int:
+    """Total embedding width at a given input resolution (for planning)."""
+    x = jnp.zeros((1, resolution, resolution, 3))
+    return int(lpips_embed(params, x).shape[1])

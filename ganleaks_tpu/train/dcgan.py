@@ -1,0 +1,110 @@
+"""DCGAN trainer driver (reference: ``gan_models/dcgan/train_torch.py``).
+
+Wires config -> device dataset -> jitted train step -> checkpoint ->
+batched sampling -> reference-format artifacts. Under a >1 device mesh the
+step is data-parallel: batch sharded over the mesh, parameters replicated,
+gradient psum inserted by pjit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganleaks_tpu.config import DCGANConfig
+from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir, write_synthetic_artifacts
+from ganleaks_tpu.io.data import DeviceDataset, load_train_images
+from ganleaks_tpu.models.dcgan import Discriminator, Generator
+from ganleaks_tpu.parallel.mesh import data_parallel_mesh, shard_batch
+from ganleaks_tpu.train.gan import GANState, dcgan_train_step
+from ganleaks_tpu.train.sample import sample_to_host
+from ganleaks_tpu.train.state import ModelState, adam_torch
+from ganleaks_tpu.utils.checkpoint import save_state
+from ganleaks_tpu.utils.logging import MetricsLogger, Throughput
+
+
+def build_state(cfg: DCGANConfig, key: jax.Array) -> GANState:
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    disc = Discriminator(ndf=cfg.ndf)
+    kg, kd = jax.random.split(key)
+    gv = gen.init(kg, jnp.zeros((1, cfg.nz)), train=True)
+    dv = disc.init(kd, jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.nc)),
+                   train=True)
+    tx = adam_torch(cfg.lr, cfg.beta1, cfg.beta2)
+    return GANState(step=jnp.zeros((), jnp.int32),
+                    gen=ModelState.create(gen, gv, tx),
+                    disc=ModelState.create(disc, dv, tx))
+
+
+def train(cfg: DCGANConfig, images: np.ndarray | None = None,
+          logger: MetricsLogger | None = None) -> GANState:
+    """Train loop (``train_torch.py:88-127``)."""
+    logger = logger or MetricsLogger()
+    key = jax.random.key(cfg.seed)
+    mesh = data_parallel_mesh(cfg.mesh_shape)
+
+    if images is None:
+        images = load_train_images(cfg.data_path, cfg.image_size)
+    ds = DeviceDataset(images, seed=cfg.seed)
+    state = build_state(cfg, key)
+
+    meter = Throughput()
+    step_key = jax.random.fold_in(key, 1)
+    for epoch in range(cfg.num_epochs):
+        for batch in ds.epoch(cfg.batch_size):
+            step_key = jax.random.fold_in(step_key, 1)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = dcgan_train_step(state, batch, step_key)
+            meter.add(batch.shape[0])
+        metrics = jax.device_get(metrics)
+        logger.log({"epoch": epoch, **metrics,
+                    "images_per_sec": meter.rate()}, step=int(state.step))
+
+    if cfg.save_model:
+        dirname = check_folder(timestamp_dir(os.path.join(cfg.PATH, "dcgan")))
+        save_state(os.path.join(dirname, "generator.msgpack"),
+                   {"params": state.gen.params,
+                    "batch_stats": state.gen.batch_stats})
+        save_state(os.path.join(dirname, "discriminator.msgpack"),
+                   {"params": state.disc.params,
+                    "batch_stats": state.disc.batch_stats})
+    return state
+
+
+def load_generator_variables(cfg: DCGANConfig, model_dir: str) -> dict:
+    """Reload a saved generator for generation-only mode
+    (``train_torch.py:146-148``)."""
+    from ganleaks_tpu.utils.checkpoint import load_state
+
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    template = gen.init(jax.random.key(0), jnp.zeros((1, cfg.nz)),
+                        train=True)
+    return load_state(os.path.join(model_dir, "generator.msgpack"),
+                      {"params": template["params"],
+                       "batch_stats": template["batch_stats"]})
+
+
+def generate(cfg: DCGANConfig, state: GANState | None = None,
+             run_dir: str | None = None,
+             variables: dict | None = None) -> dict[str, str]:
+    """Sample ``num_generated`` images and write the reference artifact
+    triplet (``train_torch.py:152-174``)."""
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    if variables is None:
+        if state is None:
+            assert cfg.saved_model_name, "need a trained state or saved model"
+            variables = load_generator_variables(cfg, cfg.saved_model_name)
+        else:
+            variables = {"params": state.gen.params,
+                         "batch_stats": state.gen.batch_stats}
+    sample_fn = lambda v, z: gen.apply(v, z, train=False)
+    key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
+    batch = min(cfg.num_generated, 512)
+    noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,
+                                   cfg.nz, batch, key)
+    root = os.path.join(cfg.PATH_syn_data, "dcgan")
+    return write_synthetic_artifacts(root, "dcgan", imgs01, noise, run_dir)

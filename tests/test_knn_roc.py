@@ -1,0 +1,130 @@
+"""kNN engine vs a torch oracle of the reference's custom_knn, and
+ROC/AUC/AP/precision vs sklearn."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+from sklearn import metrics
+
+from ganleaks_tpu.ops.distance import l2_pair, pixel_embedding
+from ganleaks_tpu.ops.knn import (
+    knn_argmin,
+    knn_argmin_reference_batched,
+    truncate_to_batches,
+)
+from ganleaks_tpu.ops.roc import roc_curve_auc
+
+
+def reference_knn_oracle(syn: np.ndarray, queries: np.ndarray,
+                         batch_size: int):
+    """torch oracle re-enacting ``fbb.py:73-88`` with the pixel-l2 loss
+    (``utils.py:163``): batched distances, remainder dropped, torch.min
+    first-index tie-break."""
+    syn_t = torch.from_numpy(syn.reshape(syn.shape[0], -1))
+    out_d, out_i = [], []
+    for q in queries:
+        q_t = torch.from_numpy(q.reshape(1, -1))
+        dists = []
+        for i in range(len(syn_t) // batch_size):
+            xb = syn_t[i * batch_size:(i + 1) * batch_size]
+            dists.append(torch.mean((q_t - xb) ** 2, dim=1))
+        dists = torch.cat(dists)
+        mind, mini = torch.min(dists, dim=0)
+        out_d.append(mind.item())
+        out_i.append(mini.item())
+    return np.array(out_d), np.array(out_i)
+
+
+@pytest.mark.parametrize("engine", ["exact", "gemm"])
+def test_knn_matches_reference_oracle(rng, engine):
+    syn = rng.standard_normal((70, 8, 8, 3)).astype(np.float32)
+    queries = rng.standard_normal((13, 8, 8, 3)).astype(np.float32)
+    # make some exact ties to exercise first-index tie-break
+    syn[11] = syn[3]
+    syn[25] = queries[4]
+    syn[60] = queries[4]
+
+    batch = 10
+    ref_d, ref_i = reference_knn_oracle(syn, queries, batch)
+
+    n_eff = truncate_to_batches(len(syn), batch)
+    emb_s = pixel_embedding(jnp.asarray(syn[:n_eff]))
+    emb_q = pixel_embedding(jnp.asarray(queries))
+    d, i = knn_argmin(emb_q, emb_s, engine=engine, s_block=16)
+
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-5, atol=1e-6)
+
+
+def test_reference_batched_helper_drops_remainder(rng):
+    syn = rng.standard_normal((25, 4, 4, 3)).astype(np.float32)
+    queries = rng.standard_normal((3, 4, 4, 3)).astype(np.float32)
+    # plant the global NN inside the dropped remainder: index 24
+    syn[24] = queries[0]
+    ref_d, ref_i = reference_knn_oracle(syn, queries, batch_size=10)
+
+    emb_s = pixel_embedding(jnp.asarray(syn))
+    emb_q = pixel_embedding(jnp.asarray(queries))
+    d, i = knn_argmin_reference_batched(emb_q, emb_s, batch_size=10)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    assert int(i[0]) != 24  # the remainder really was dropped
+
+    # without the parity flag the true NN is found
+    d_full, i_full = knn_argmin(emb_q, emb_s, engine="exact", s_block=8)
+    assert int(i_full[0]) == 24
+
+
+def test_exact_and_gemm_engines_agree(rng):
+    syn = rng.standard_normal((100, 48)).astype(np.float32)
+    q = rng.standard_normal((17, 48)).astype(np.float32)
+    d1, i1 = knn_argmin(jnp.asarray(q), jnp.asarray(syn), engine="exact",
+                        s_block=32)
+    d2, i2 = knn_argmin(jnp.asarray(q), jnp.asarray(syn), engine="gemm",
+                        s_block=32)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_l2_pair_matches_torch(rng):
+    x = rng.standard_normal((6, 8, 8, 3)).astype(np.float32)
+    y = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    ref = torch.mean((torch.from_numpy(y) - torch.from_numpy(x)) ** 2,
+                     dim=[1, 2, 3]).numpy()
+    out = l2_pair(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("with_ties", [False, True])
+def test_roc_matches_sklearn(rng, with_ties):
+    pos = rng.standard_normal(400).astype(np.float32) + 0.3
+    neg = rng.standard_normal(300).astype(np.float32)
+    if with_ties:
+        pos = np.round(pos, 1)
+        neg = np.round(neg, 1)
+
+    labels = np.concatenate([np.zeros(len(neg)), np.ones(len(pos))])
+    scores = np.concatenate([neg, pos])
+    sk_auc = metrics.roc_auc_score(labels, scores)
+    sk_ap = metrics.average_precision_score(labels, scores)
+    pred = np.zeros_like(scores)
+    pred[scores > -0.14] = 1
+    sk_prec = metrics.precision_score(labels, pred)
+
+    res = roc_curve_auc(jnp.asarray(pos), jnp.asarray(neg))
+    np.testing.assert_allclose(float(res.auc), sk_auc, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(res.ap), sk_ap, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(res.precision), sk_prec,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_roc_monotone_transform_invariance(rng):
+    """AUROC must be invariant under monotone score transforms (SURVEY §4
+    property test)."""
+    pos = rng.standard_normal(100).astype(np.float32) + 1
+    neg = rng.standard_normal(100).astype(np.float32)
+    a1 = float(roc_curve_auc(jnp.asarray(pos), jnp.asarray(neg)).auc)
+    f = lambda s: np.tanh(s / 3.0) * 5.0
+    a2 = float(roc_curve_auc(jnp.asarray(f(pos)), jnp.asarray(f(neg))).auc)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)
