@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: fbb LPIPS kNN attack throughput on TPU.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: LPIPS+L2 kNN query-pairs/sec, end to end (featurize + blocked
+distance matmul + argmin), on the configured chip — the core computation of
+``attack_models/fbb.py`` (whose measured torch-CPU throughput on this host
+is ~15 query-pairs/sec; see BASELINE.md).
+
+Usage:
+    python bench.py            # full bench (N_q=2000 x N_syn=20000, 64x64)
+    python bench.py --quick    # tiny smoke sizes
+    python bench.py --engine gemm|pallas
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torch-CPU reference (single core, LPIPS VGG16 + L2 over 64-image batches,
+# measured on this host 2026-08-16 — see BASELINE.md "measured baseline")
+REFERENCE_CPU_PAIRS_PER_SEC = 15.0
+
+
+def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
+              q_block: int, s_block: int, dtype: str) -> dict:
+    from ganleaks_tpu.ops.distance import make_embed_fn
+    from ganleaks_tpu.ops.knn import knn_argmin_streamed
+    from ganleaks_tpu.ops.lpips import default_lpips_params, lpips_embed_fn
+
+    rng = np.random.default_rng(0)
+    syn = jnp.asarray(rng.uniform(-1, 1, (n_syn, resolution, resolution, 3))
+                      .astype(np.float32))
+    queries = jnp.asarray(rng.uniform(-1, 1,
+                                      (n_q, resolution, resolution, 3))
+                          .astype(np.float32))
+
+    params = default_lpips_params("vgg")
+    embed = make_embed_fn("l2-lpips",
+                          lpips_embed_fn(params, weight=0.2,
+                                         dtype=jnp.dtype(dtype)),
+                          dtype=jnp.dtype(dtype))
+
+    use_pallas = engine == "pallas"
+
+    def attack():
+        d, i = knn_argmin_streamed(embed, queries, syn, engine="gemm",
+                                   q_block=q_block, s_block=s_block,
+                                   pallas=use_pallas)
+        jax.block_until_ready(d)
+        return d, i
+
+    attack()  # compile warmup
+    t0 = time.perf_counter()
+    d, i = attack()
+    dt = time.perf_counter() - t0
+    pairs = n_q * n_syn
+    return {"pairs_per_sec": pairs / dt, "seconds": dt,
+            "n_q": n_q, "n_syn": n_syn,
+            "check_min": float(jnp.min(d)), "check_idx": int(i[0])}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--engine", default="pallas",
+                    choices=["gemm", "pallas"])
+    ap.add_argument("--n_q", type=int, default=None)
+    ap.add_argument("--n_syn", type=int, default=None)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    if args.quick:
+        n_q, n_syn, q_block, s_block = 64, 512, 64, 256
+    else:
+        n_q, n_syn, q_block, s_block = 2000, 20000, 1000, 1000
+    n_q = args.n_q or n_q
+    n_syn = args.n_syn or n_syn
+
+    engine = args.engine
+    try:
+        out = run_bench(n_q, n_syn, 64, engine, q_block, s_block, args.dtype)
+    except Exception as e:  # pallas unsupported on this backend -> XLA path
+        if engine == "pallas":
+            print(f"# pallas engine failed ({type(e).__name__}: {e}); "
+                  "falling back to gemm", flush=True)
+            engine = "gemm"
+            out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
+                            args.dtype)
+        else:
+            raise
+
+    value = out["pairs_per_sec"]
+    print(json.dumps({
+        "metric": f"fbb LPIPS kNN query-pairs/sec ({platform}, {engine}, "
+                  f"{out['n_q']}x{out['n_syn']} @64x64)",
+        "value": round(value, 1),
+        "unit": "query-pairs/sec",
+        "vs_baseline": round(value / REFERENCE_CPU_PAIRS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

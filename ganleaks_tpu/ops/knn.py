@@ -143,7 +143,8 @@ def _fold_block(run_min: Array, run_idx: Array, emb_q: Array, rq: Array,
 
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
-                        s_block: int = 2048) -> tuple[Array, Array]:
+                        s_block: int = 2048,
+                        pallas: bool = False) -> tuple[Array, Array]:
     """1-NN where embeddings are produced on the fly, block by block —
     for feature spaces too large to materialize (LPIPS at 64x64 is ~512k
     dims/image: 100k images would be 200 GB).
@@ -155,6 +156,9 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     """
     n_q, n_s = queries.shape[0], syn.shape[0]
     s_pad = (-n_s) % s_block
+    # jit once: block shapes are uniform, and eager op-by-op dispatch of a
+    # VGG tower is pathologically slow on remote-compile backends
+    embed_fn = jax.jit(embed_fn)
     out_d, out_i = [], []
     for qs in range(0, n_q, q_block):
         emb_q = embed_fn(queries[qs:qs + q_block])
@@ -169,9 +173,16 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                 blk = jnp.concatenate(
                     [blk, jnp.zeros(pad_shape, blk.dtype)], axis=0)
             emb_s = embed_fn(blk)
-            run_min, run_idx = _fold_block(
-                run_min, run_idx, emb_q, rq, emb_s, ss,
-                jnp.asarray(n_valid), engine)
+            if pallas and engine == "gemm":
+                from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
+                d_blk, i_blk = knn_argmin_pallas(emb_q, emb_s[:n_valid])
+                better = d_blk < run_min  # in-order: first index preserved
+                run_min = jnp.where(better, d_blk, run_min)
+                run_idx = jnp.where(better, ss + i_blk, run_idx)
+            else:
+                run_min, run_idx = _fold_block(
+                    run_min, run_idx, emb_q, rq, emb_s, ss,
+                    jnp.asarray(n_valid), engine)
         out_d.append(run_min)
         out_i.append(run_idx)
     return jnp.concatenate(out_d), jnp.concatenate(out_i)
