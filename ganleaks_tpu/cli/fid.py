@@ -1,0 +1,39 @@
+"""FID CLI (reference entry point: ``z_fid.py:320-334``).
+
+    python -m ganleaks_tpu.cli.fid path1 path2 [--weights converted.npz]
+"""
+
+import argparse
+
+from ganleaks_tpu.ops.fid import fid_from_paths, init_inception_params
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", type=str, nargs=2,
+                    help="image dirs or .npz statistic files")
+    ap.add_argument("--weights", default=None,
+                    help="converted InceptionV3 npz "
+                         "(tools/convert_inception.py); surrogate otherwise")
+    ap.add_argument("--batch_size", type=int, default=50)
+    ap.add_argument("--sqrtm", default="newton-schulz",
+                    choices=["newton-schulz", "eigh", "scipy"])
+    args = ap.parse_args(argv)
+
+    if args.weights:
+        from ganleaks_tpu.utils.checkpoint import load_params_npz
+        params = load_params_npz(args.weights)
+        if "params" not in params:
+            params = {"params": params}
+    else:
+        print("# using surrogate InceptionV3 weights (relative FID only); "
+              "convert torchvision weights for standard numbers")
+        params = init_inception_params()
+
+    value = fid_from_paths(params, args.path[0], args.path[1],
+                           args.batch_size, args.sqrtm)
+    print("FID: ", value)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Progressive GAN trainer (reference: ``gan_models/pggan/train.py``).
+
+Per-resolution loop (PROGRESSIVE_EPOCHS, ``train.py:78,169-199``) with the
+alpha fade-in ramped per batch (``:134-135``); per batch: one critic update
+with WGAN-GP + 0.001*E[critic(real)^2] drift (``:104-122``), then one
+generator update against the *pre-update* critic output on the same fake
+(the reference computes ``critic(fake)`` for the G loss before
+``opt_critic.step()`` has run? No — it runs after, on the updated critic;
+``:125-132``), matching semantics below.
+
+Mixed precision: the reference uses CUDA fp16 autocast + GradScaler
+(``:107,162-163``); on TPU the compute dtype is bfloat16 — same dynamic
+range as fp32, so no loss scaling is needed (the GradScaler machinery is
+intentionally absent; recorded in DIVERGENCES.md).
+
+``steps`` is static per resolution: one compile per resolution, reused for
+every batch/epoch at that resolution.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganleaks_tpu.config import PGGANConfig
+from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir, write_synthetic_artifacts
+from ganleaks_tpu.io.data import DeviceDataset, load_train_images
+from ganleaks_tpu.models.pggan import Discriminator, Generator, init_progressive
+from ganleaks_tpu.train.gan import GANState
+from ganleaks_tpu.train.sample import sample_to_host
+from ganleaks_tpu.train.state import ModelState, adam_torch
+from ganleaks_tpu.utils.checkpoint import save_state
+from ganleaks_tpu.utils.logging import MetricsLogger, Throughput
+
+Array = jax.Array
+
+
+def gradient_penalty_fn(critic_apply, c_params, real: Array, fake: Array,
+                        eps: Array, steps: int, alpha) -> Array:
+    """PGGAN gradient penalty (``pggan/utils.py:72-96``): note the
+    reference interpolates as ``real*eps + fake.detach()*(1-eps)`` and
+    passes (steps, alpha) through the critic."""
+    interp = real * eps + jax.lax.stop_gradient(fake) * (1.0 - eps)
+
+    def score_sum(x):
+        return jnp.sum(critic_apply({"params": c_params}, x, steps,
+                                    alpha).reshape(-1))
+
+    grads = jax.grad(score_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(jnp.square(
+        grads.reshape(grads.shape[0], -1)), axis=1) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
+@partial(jax.jit, static_argnames=("steps",), donate_argnums=0)
+def pggan_train_step(state: GANState, real: Array, alpha, rng: Array,
+                     steps: int, lambda_gp: float = 10.0,
+                     drift: float = 0.001):
+    """One critic + generator update at a fixed resolution
+    (``train.py:96-132``)."""
+    gen, critic = state.gen, state.disc
+    batch = real.shape[0]
+    nz = gen.params["initial_convt"]["kernel"].shape[2]
+    rng, k_noise, k_eps = jax.random.split(rng, 3)
+    noise = jax.random.normal(k_noise, (batch, nz), real.dtype)
+
+    fake = gen.apply_fn(gen.variables(), noise, steps, alpha)
+    eps = jax.random.uniform(k_eps, (batch, 1, 1, 1), real.dtype)
+
+    def c_loss_fn(c_params):
+        c_real = critic.apply_fn({"params": c_params}, real, steps, alpha)
+        c_fake = critic.apply_fn({"params": c_params},
+                                 jax.lax.stop_gradient(fake), steps, alpha)
+        gp = gradient_penalty_fn(critic.apply_fn, c_params, real, fake,
+                                 eps, steps, alpha)
+        return (-(jnp.mean(c_real) - jnp.mean(c_fake))
+                + lambda_gp * gp + drift * jnp.mean(jnp.square(c_real)))
+
+    loss_c, c_grads = jax.value_and_grad(c_loss_fn)(critic.params)
+    critic = critic.apply_gradients(c_grads)
+
+    def g_loss_fn(g_params):
+        fake2 = gen.apply_fn({"params": g_params}, noise, steps, alpha)
+        out = critic.apply_fn({"params": critic.params}, fake2, steps,
+                              alpha)
+        return -jnp.mean(out)
+
+    loss_g, g_grads = jax.value_and_grad(g_loss_fn)(gen.params)
+    gen = gen.apply_gradients(g_grads)
+
+    return (state.replace(step=state.step + 1, gen=gen, disc=critic),
+            {"loss_critic": loss_c, "loss_gen": loss_g})
+
+
+def build_state(cfg: PGGANConfig, key: jax.Array,
+                max_steps: int | None = None) -> GANState:
+    from math import log2
+
+    max_steps = max_steps if max_steps is not None else int(
+        log2(cfg.image_size / 4))
+    gen = Generator(nz=cfg.nz, in_channels=cfg.in_channels, nc=cfg.nc)
+    critic = Discriminator(in_channels=cfg.in_channels, nc=cfg.nc)
+    kg, kd = jax.random.split(key)
+    gv = init_progressive(gen, kg, jnp.zeros((1, cfg.nz)), max_steps)
+    dv = init_progressive(critic, kd, jnp.zeros((1, 4, 4, cfg.nc)),
+                          max_steps)
+    tx = adam_torch(cfg.lr, 0.0, 0.99)  # betas (0.0, 0.99), train.py:160-161
+    return GANState(step=jnp.zeros((), jnp.int32),
+                    gen=ModelState.create(gen, gv, tx),
+                    disc=ModelState.create(critic, dv, tx))
+
+
+def train(cfg: PGGANConfig, images: np.ndarray | None = None,
+          logger: MetricsLogger | None = None) -> GANState:
+    """Progressive loop (``train.py:145-199``): for each resolution
+    4*2^step, ``num_epochs`` epochs with alpha ramping from ~0 to 1 over
+    the first half of the epochs."""
+    from math import log2
+
+    logger = logger or MetricsLogger()
+    key = jax.random.key(cfg.seed)
+    max_steps = int(log2(cfg.image_size / 4))
+    state = build_state(cfg, key, max_steps)
+
+    if images is None:
+        images = load_train_images(cfg.data_path, cfg.image_size)
+
+    meter = Throughput()
+    step_key = jax.random.fold_in(key, 1)
+    metrics = {}
+    start_step = int(log2(cfg.start_img_size / 4))
+    for steps in range(start_step, max_steps + 1):
+        res = 4 * 2 ** steps
+        batch_size = cfg.batch_sizes[min(steps, len(cfg.batch_sizes) - 1)]
+        # nearest-neighbor downscale of the 64x64 set to this resolution
+        # (the reference reloads with Resize(NEAREST), train.py:82-92)
+        stride = images.shape[1] // res
+        res_images = images[:, ::stride, ::stride, :] if stride > 1 else images
+        ds = DeviceDataset(res_images, seed=cfg.seed + steps)
+        alpha = 1e-5
+        n_ds = len(ds)
+        for epoch in range(cfg.num_epochs):
+            for batch in ds.epoch(batch_size):
+                step_key = jax.random.fold_in(step_key, 1)
+                state, metrics = pggan_train_step(
+                    state, batch, jnp.float32(alpha), step_key, steps,
+                    cfg.lambda_gp, cfg.drift)
+                # per-batch alpha ramp (train.py:134-135)
+                alpha = min(
+                    alpha + batch.shape[0] / (cfg.num_epochs * 0.5 * n_ds),
+                    1.0)
+                meter.add(batch.shape[0])
+        logger.log({"resolution": res, **jax.device_get(metrics),
+                    "alpha": alpha, "images_per_sec": meter.rate()},
+                   step=int(state.step))
+
+    if cfg.save_model:
+        dirname = check_folder(timestamp_dir(os.path.join(cfg.PATH,
+                                                          "pggan")))
+        save_state(os.path.join(dirname, "generator.msgpack"),
+                   {"params": state.gen.params})
+        save_state(os.path.join(dirname, "critic.msgpack"),
+                   {"params": state.disc.params})
+    return state
+
+
+def generate(cfg: PGGANConfig, state: GANState, run_dir: str | None = None,
+             steps: int | None = None) -> dict[str, str]:
+    """Batched generation at the final resolution (``train.py:208-257``;
+    the reference hardcodes steps=4/64x64 at ``:238``)."""
+    from math import log2
+
+    steps = steps if steps is not None else int(log2(cfg.image_size / 4))
+    gen = Generator(nz=cfg.nz, in_channels=cfg.in_channels, nc=cfg.nc)
+    variables = {"params": state.gen.params}
+    sample_fn = lambda v, z: gen.apply(v, z, steps, 1.0)
+    key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
+    batch = min(cfg.num_generated, 128)
+    noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,
+                                   cfg.nz, batch, key)
+    root = os.path.join(cfg.PATH_syn_data, "pggan")
+    return write_synthetic_artifacts(root, "pggan", imgs01, noise, run_dir)
