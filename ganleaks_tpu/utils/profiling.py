@@ -1,0 +1,45 @@
+"""Tracing / profiling (SURVEY §5: the reference's only 'tracing' is tqdm
+bars; here stage-level ``jax.profiler`` annotations + throughput meters are
+first-class, since the BASELINE metrics are throughputs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace_stage(name: str, meters: dict | None = None,
+                items: int | None = None):
+    """Annotate a pipeline stage for the JAX profiler and record wall-clock
+    (+ items/sec if ``items`` given) into ``meters``."""
+    t0 = time.perf_counter()
+    with jax.profiler.TraceAnnotation(name):
+        yield
+    dt = time.perf_counter() - t0
+    if meters is not None:
+        meters[f"{name}_seconds"] = meters.get(f"{name}_seconds", 0.0) + dt
+        if items is not None:
+            meters[f"{name}_items_per_sec"] = items / dt if dt > 0 else 0.0
+
+
+@contextlib.contextmanager
+def profile_to(log_dir: str | None):
+    """Capture a full profiler trace (view with TensorBoard/XProf)."""
+    if not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_nan_debugging(enabled: bool = True) -> None:
+    """SURVEY §5 sanitizer plan: the TPU analog of the reference's
+    ``torch.autograd.set_detect_anomaly(True)`` (``privDCGAN.py:63``)."""
+    jax.config.update("jax_debug_nans", enabled)
