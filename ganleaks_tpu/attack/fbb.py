@@ -33,7 +33,7 @@ import PIL.Image
 
 from ganleaks_tpu.config import AttackConfig
 from ganleaks_tpu.io.artifacts import check_folder, dump_params, save_files
-from ganleaks_tpu.io.images import load_image_dir, to_uint8
+from ganleaks_tpu.io.images import to_uint8
 from ganleaks_tpu.ops.distance import make_embed_fn
 from ganleaks_tpu.ops.knn import knn_argmin_streamed, truncate_to_batches
 from ganleaks_tpu.utils.logging import MetricsLogger, Throughput
@@ -142,11 +142,13 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         dump_params(save_dir, sub_cfg)
         logger = MetricsLogger(os.path.join(save_dir, "metrics.jsonl"))
 
-        syn = load_image_dir(subdir, sub_cfg.resolution)
-        pos = load_image_dir(sub_cfg.pos_data_dir,
-                             sub_cfg.resolution)[:sub_cfg.data_num]
-        neg = load_image_dir(sub_cfg.neg_data_dir,
-                             sub_cfg.resolution)[:sub_cfg.data_num]
+        from ganleaks_tpu.io.native import load_image_dir_native
+
+        syn = load_image_dir_native(subdir, sub_cfg.resolution)
+        pos = load_image_dir_native(sub_cfg.pos_data_dir,
+                                    sub_cfg.resolution)[:sub_cfg.data_num]
+        neg = load_image_dir_native(sub_cfg.neg_data_dir,
+                                    sub_cfg.resolution)[:sub_cfg.data_num]
 
         out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh, logger=logger)
 

@@ -1,0 +1,97 @@
+"""ctypes bindings for the native batched PNG loader (``native/``).
+
+Gives the host path (the only part of the pipeline not on the TPU) a
+threaded C++ decode with fused [-1,1] conversion. Falls back to the PIL
+readers per-image on any decode/shape mismatch (so PIL-resize semantics
+stay byte-faithful) and falls back entirely if the library isn't built.
+
+Build once:  make -C native      (auto-attempted on first use)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ganleaks_tpu.io.images import (
+    get_filepaths_from_dir,
+    read_image,
+    read_image_center_crop,
+)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libganleaks_io.so")
+
+MODE_EXACT = 0
+MODE_CENTER_CROP = 1
+
+_lib = None
+_lib_failed = False
+
+
+def _load_library():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not os.path.exists(_SO_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.gl_load_batch.restype = ctypes.c_int
+        lib.gl_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        _lib = lib
+    except Exception as e:  # missing toolchain/libpng: pure-python fallback
+        print(f"[native] loader unavailable ({e}); using PIL")
+        _lib_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def load_image_dir_native(data_dir: str, resolution: int = 64,
+                          ext: str = "png", limit: int | None = None,
+                          mode: int = MODE_EXACT,
+                          num_threads: int | None = None) -> np.ndarray:
+    """Directory -> NHWC float32 in [-1, 1] via the C++ loader; per-image
+    PIL fallback keeps resize semantics identical for mismatched sizes."""
+    paths = get_filepaths_from_dir(data_dir, ext)
+    if limit is not None:
+        paths = paths[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no *.{ext} files under {data_dir}")
+
+    lib = _load_library()
+    n = len(paths)
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+
+    if lib is None:
+        reader = (read_image_center_crop if mode == MODE_CENTER_CROP
+                  else read_image)
+        for i, p in enumerate(paths):
+            out[i] = reader(p, resolution)
+        return out
+
+    num_threads = num_threads or min(8, os.cpu_count() or 1)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    status = np.zeros(n, np.int32)
+    lib.gl_load_batch(
+        c_paths, n, resolution, mode,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
+
+    # per-image fallback: non-PNG files, shape mismatches (PIL-resize path)
+    fallback_reader = (read_image_center_crop if mode == MODE_CENTER_CROP
+                       else read_image)
+    for i in np.nonzero(status)[0]:
+        out[i] = fallback_reader(paths[i], resolution)
+    return out

@@ -1,0 +1,187 @@
+// ganleaks_io — native batched image loader for the attack/training host path.
+//
+// The reference decodes PNGs one-by-one through PIL inside python loops
+// (attack_models/fbb.py:134, list comprehension over read_image). This
+// library decodes a whole directory batch with libpng on a thread pool and
+// fuses the uint8 -> [-1, 1] float conversion (attack_models/utils.py:82)
+// and the VAE-GAN center-crop + iterated 2x2 box downsample
+// (gan_models/vaegan/utils.py:44-71) into the decode pass, writing straight
+// into the caller-provided NHWC float32 buffer that jax.device_put consumes.
+//
+// Exact-parity contract: outputs are bit-identical to the Python readers for
+//   * images already at the target resolution (mode EXACT), and
+//   * the center-crop/box-downsample variant (mode CENTER_CROP).
+// The PIL-resize variant (bicubic on mismatched sizes) is NOT reimplemented
+// — per-image fallback to PIL keeps that path byte-faithful.
+//
+// Build: make -C native   ->  native/libganleaks_io.so
+
+#include <png.h>
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kOk = 0;
+constexpr int kErrOpen = 1;
+constexpr int kErrNotPng = 2;
+constexpr int kErrDecode = 3;
+constexpr int kErrShape = 4;
+
+enum Mode {
+  kExact = 0,       // require (res, res, 3); error otherwise
+  kCenterCrop = 1,  // crop 128x128 at (cx=89, cy=121), box-downsample to res
+};
+
+struct Image {
+  std::vector<uint8_t> pixels;  // HWC, 3 channels
+  int w = 0, h = 0;
+};
+
+int decode_png_rgb(const char* path, Image* out) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return kErrOpen;
+
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    return kErrNotPng;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    std::fclose(fp);
+    return kErrDecode;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  // normalize every input to 8-bit RGB
+  png_byte color = png_get_color_type(png, info);
+  png_byte depth = png_get_bit_depth(png, info);
+  if (depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  out->w = static_cast<int>(png_get_image_width(png, info));
+  out->h = static_cast<int>(png_get_image_height(png, info));
+  out->pixels.resize(static_cast<size_t>(out->w) * out->h * 3);
+
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y)
+    rows[y] = out->pixels.data() + static_cast<size_t>(y) * out->w * 3;
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return kOk;
+}
+
+// attack_models/utils.py:82 — 2*(x/255)-1; numpy evaluates in float64 and
+// the caller casts to float32: doing the same keeps outputs bit-identical
+inline float to_tanh_range(double v) {
+  return static_cast<float>(2.0 * (v / 255.0) - 1.0);
+}
+
+int postprocess(const Image& img, int resolution, int mode, float* dst) {
+  const int res = resolution;
+  if (img.w == res && img.h == res) {
+    const size_t n = static_cast<size_t>(res) * res * 3;
+    for (size_t i = 0; i < n; ++i)
+      dst[i] = to_tanh_range(static_cast<float>(img.pixels[i]));
+    return kOk;
+  }
+  if (mode == kExact) return kErrShape;
+
+  // vaegan/utils.py:44-71: crop [cy-64:cy+64, cx-64:cx+64] (cx=89, cy=121),
+  // then repeated 2x2 box averaging from 128 down to res, rint->clip->uint8
+  // round-trip, then the [-1, 1] scaling.
+  constexpr int kCx = 89, kCy = 121;
+  if (img.h < kCy + 64 || img.w < kCx + 64 || res > 128 || (128 % res) != 0)
+    return kErrShape;
+
+  std::vector<float> buf(128 * 128 * 3);
+  for (int y = 0; y < 128; ++y)
+    for (int x = 0; x < 128; ++x)
+      for (int c = 0; c < 3; ++c)
+        buf[(static_cast<size_t>(y) * 128 + x) * 3 + c] = static_cast<float>(
+            img.pixels[(static_cast<size_t>(y + kCy - 64) * img.w +
+                        (x + kCx - 64)) * 3 + c]);
+
+  int cur = 128;
+  while (cur > res) {
+    const int half = cur / 2;
+    for (int y = 0; y < half; ++y)
+      for (int x = 0; x < half; ++x)
+        for (int c = 0; c < 3; ++c) {
+          const size_t r0 = (static_cast<size_t>(2 * y) * cur + 2 * x) * 3 + c;
+          const size_t r1 = (static_cast<size_t>(2 * y) * cur + 2 * x + 1) * 3 + c;
+          const size_t r2 = (static_cast<size_t>(2 * y + 1) * cur + 2 * x) * 3 + c;
+          const size_t r3 = (static_cast<size_t>(2 * y + 1) * cur + 2 * x + 1) * 3 + c;
+          buf[(static_cast<size_t>(y) * half + x) * 3 + c] =
+              (buf[r0] + buf[r1] + buf[r2] + buf[r3]) * 0.25f;
+        }
+    cur = half;
+  }
+  const size_t n = static_cast<size_t>(res) * res * 3;
+  for (size_t i = 0; i < n; ++i) {
+    float v = std::nearbyint(buf[i]);  // np.rint: banker's rounding
+    v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+    dst[i] = (v / 255.0f) * 2.0f - 1.0f;  // vaegan scaling (utils.py:69-71)
+  }
+  return kOk;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `n` PNGs into `out` (n, resolution, resolution, 3) float32 NHWC in
+// [-1, 1]. `status[i]` receives a per-image code (0 ok; nonzero => caller
+// should fall back to the Python reader for that image). Returns the number
+// of failures.
+int gl_load_batch(const char** paths, int n, int resolution, int mode,
+                  float* out, int* status, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(resolution) * resolution * 3;
+
+  auto worker = [&]() {
+    // nearbyint must round-half-even to match np.rint
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      Image img;
+      int rc = decode_png_rgb(paths[i], &img);
+      if (rc == kOk) rc = postprocess(img, resolution, mode, out + stride * i);
+      status[i] = rc;
+      if (rc != kOk) failures.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  const int workers = n_threads > n ? n : n_threads;
+  pool.reserve(workers);
+  for (int t = 0; t < workers; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+int gl_version() { return 1; }
+
+}  // extern "C"
