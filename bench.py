@@ -31,7 +31,8 @@ REFERENCE_CPU_PAIRS_PER_SEC = 15.0
 
 
 def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
-              q_block: int, s_block: int, dtype: str) -> dict:
+              q_block: int, s_block: int, dtype: str,
+              compute_dtype: str | None = None) -> dict:
     from ganleaks_tpu.ops.distance import make_embed_fn
     from ganleaks_tpu.ops.knn import knn_argmin_streamed
     from ganleaks_tpu.ops.lpips import default_lpips_params, lpips_embed_fn
@@ -44,9 +45,11 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
                           .astype(np.float32))
 
     params = default_lpips_params("vgg")
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else None
     embed = make_embed_fn("l2-lpips",
                           lpips_embed_fn(params, weight=0.2,
-                                         dtype=jnp.dtype(dtype)),
+                                         dtype=jnp.dtype(dtype),
+                                         compute_dtype=cdt),
                           dtype=jnp.dtype(dtype))
 
     use_pallas = engine == "pallas"
@@ -71,11 +74,13 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--engine", default="pallas",
+    ap.add_argument("--engine", default="gemm",
                     choices=["gemm", "pallas"])
     ap.add_argument("--n_q", type=int, default=None)
     ap.add_argument("--n_syn", type=int, default=None)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--compute_dtype", default=None,
+                    help="'bfloat16' runs the LPIPS tower at MXU bf16 rate")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -88,14 +93,15 @@ def main() -> None:
 
     engine = args.engine
     try:
-        out = run_bench(n_q, n_syn, 64, engine, q_block, s_block, args.dtype)
+        out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
+                        args.dtype, args.compute_dtype)
     except Exception as e:  # pallas unsupported on this backend -> XLA path
         if engine == "pallas":
             print(f"# pallas engine failed ({type(e).__name__}: {e}); "
                   "falling back to gemm", flush=True)
             engine = "gemm"
             out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
-                            args.dtype)
+                            args.dtype, args.compute_dtype)
         else:
             raise
 

@@ -65,9 +65,12 @@ def build_embed_fn(cfg: AttackConfig, dtype=None):
         params = load_lpips_params(cfg.lpips_weights)
     else:
         params = default_lpips_params(cfg.lpips_net)
-    return make_embed_fn("l2-lpips",
-                         lpips_embed_fn(params, weight=0.2, dtype=dtype),
-                         dtype=dtype)
+    cdt = jnp.dtype(cfg.lpips_compute_dtype) if cfg.lpips_compute_dtype \
+        else None
+    return make_embed_fn(
+        "l2-lpips",
+        lpips_embed_fn(params, weight=0.2, dtype=dtype, compute_dtype=cdt),
+        dtype=dtype)
 
 
 def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,

@@ -126,6 +126,9 @@ class AttackConfig:
     save_root: str = "fbb_attack"
     engine: str = "gemm"           # 'gemm' (fast, MXU) | 'exact' (reference math)
     dtype: str = "float32"         # embedding dtype for the gemm engine
+    lpips_compute_dtype: str | None = None  # 'bfloat16' runs the VGG tower
+                                            # at MXU bf16 rate (throughput
+                                            # mode; parity runs keep f32)
     query_block: int = 2048        # query tile streamed on device
     syn_block: int = 8192          # generated-set tile streamed on device
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE

@@ -143,22 +143,58 @@ def _fold_block(run_min: Array, run_idx: Array, emb_q: Array, rq: Array,
 
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
-                        s_block: int = 2048,
-                        pallas: bool = False) -> tuple[Array, Array]:
+                        s_block: int = 2048, pallas: bool = False,
+                        query_cache_bytes: int = 6 << 30
+                        ) -> tuple[Array, Array]:
     """1-NN where embeddings are produced on the fly, block by block —
     for feature spaces too large to materialize (LPIPS at 64x64 is ~512k
     dims/image: 100k images would be 200 GB).
 
-    Featurization cost: ``N_q + N_s * ceil(N_q / q_block)`` forwards; the
-    MXU matmul still dominates at attack scale. Queries/syn can be image
-    arrays or anything ``embed_fn`` accepts, as long as axis 0 indexes
-    samples.
+    When the full query embedding matrix fits in ``query_cache_bytes`` of
+    HBM it is featurized ONCE and every synthetic block is visited once:
+    ``N_q + N_s`` forwards total. Otherwise the synthetic set is
+    re-featurized per query block (``N_q + N_s * ceil(N_q/q_block)``).
+    Queries/syn can be image arrays or anything ``embed_fn`` accepts, as
+    long as axis 0 indexes samples.
     """
     n_q, n_s = queries.shape[0], syn.shape[0]
     s_pad = (-n_s) % s_block
     # jit once: block shapes are uniform, and eager op-by-op dispatch of a
     # VGG tower is pathologically slow on remote-compile backends
     embed_fn = jax.jit(embed_fn)
+
+    # probe the embedding width to decide whether queries fit resident
+    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype))
+    emb_bytes = n_q * probe.shape[1] * probe.dtype.itemsize
+    if emb_bytes <= query_cache_bytes:
+        emb_q_full = jnp.concatenate(
+            [embed_fn(queries[qs:qs + q_block])
+             for qs in range(0, n_q, q_block)])
+        rq = jnp.sum(jnp.square(emb_q_full.astype(jnp.float32)), axis=1)
+        run_min = jnp.full((n_q,), jnp.inf, jnp.float32)
+        run_idx = jnp.zeros((n_q,), jnp.int32)
+        for ss in range(0, n_s, s_block):
+            blk = syn[ss:ss + s_block]
+            n_valid = blk.shape[0]
+            if n_valid < s_block and s_pad:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((s_block - n_valid,) + blk.shape[1:],
+                                    blk.dtype)], axis=0)
+            emb_s = embed_fn(blk)
+            if pallas and engine == "gemm":
+                from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
+                d_blk, i_blk = knn_argmin_pallas(emb_q_full,
+                                                 emb_s[:n_valid])
+                better = d_blk < run_min
+                run_min = jnp.where(better, d_blk, run_min)
+                run_idx = jnp.where(better, ss + i_blk, run_idx)
+            else:
+                run_min, run_idx = _fold_block(
+                    run_min, run_idx, emb_q_full, rq, emb_s, ss,
+                    jnp.asarray(n_valid), engine)
+        return run_min, run_idx
+
     out_d, out_i = [], []
     for qs in range(0, n_q, q_block):
         emb_q = embed_fn(queries[qs:qs + q_block])

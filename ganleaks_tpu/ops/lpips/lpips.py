@@ -111,8 +111,16 @@ def load_lpips_params(path: str) -> dict:
 # evaluation
 # ---------------------------------------------------------------------------
 
-def _features(params: dict, x: Array) -> list[Array]:
-    return backbone_features(params["convs"], _scale_input(x), params["net"])
+def _features(params: dict, x: Array,
+              compute_dtype=None) -> list[Array]:
+    """Backbone taps; ``compute_dtype=bfloat16`` runs the conv tower at MXU
+    bf16 rate (features are unit-normalized right after, so the relative
+    error stays at bf16 epsilon ~ 4e-3 — fine for attack throughput runs;
+    parity runs keep f32)."""
+    xs = _scale_input(x)
+    if compute_dtype is not None:
+        xs = xs.astype(compute_dtype)
+    return backbone_features(params["convs"], xs, params["net"])
 
 
 def lpips_pair(params: dict, x: Array, y: Array) -> Array:
@@ -134,26 +142,29 @@ def lpips_pair(params: dict, x: Array, y: Array) -> Array:
 
 
 def lpips_embed(params: dict, x: Array, weight: float = 1.0,
-                dtype=jnp.float32) -> Array:
+                dtype=jnp.float32, compute_dtype=None) -> Array:
     """phi(x): concatenated scaled normalized features, so that
     ``weight * LPIPS(x, y) == ||phi(x) - phi(y)||^2`` exactly (lin weights
     are >= 0 for the shipped v0.1 heads; negatives are clamped and would be
     reported by the converter)."""
-    feats = _features(params, x)
+    feats = _features(params, x, compute_dtype)
     parts = []
     for fl, w in zip(feats, params["lins"]):
         n, h, wd, _c = fl.shape
         scale = jnp.sqrt(jnp.maximum(w, 0.0) * (weight / (h * wd)))
-        phi = normalize_tensor(fl) * scale.astype(fl.dtype)
+        # normalization in f32 regardless of tower dtype
+        phi = normalize_tensor(fl.astype(jnp.float32)) * scale
         parts.append(phi.reshape(n, -1).astype(dtype))
     return jnp.concatenate(parts, axis=1)
 
 
-def lpips_embed_fn(params: dict, weight: float = 0.2, dtype=jnp.float32):
+def lpips_embed_fn(params: dict, weight: float = 0.2, dtype=jnp.float32,
+                   compute_dtype=None):
     """Closure for ``ops/distance.make_embed_fn`` ('l2-lpips' distance,
     ``attack_models/utils.py:166-176``)."""
     def embed(x: Array) -> Array:
-        return lpips_embed(params, x, weight=weight, dtype=dtype)
+        return lpips_embed(params, x, weight=weight, dtype=dtype,
+                           compute_dtype=compute_dtype)
     return embed
 
 

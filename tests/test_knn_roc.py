@@ -119,6 +119,50 @@ def test_roc_matches_sklearn(rng, with_ties):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_knn_permutation_invariance(rng):
+    """Property (SURVEY §4): permuting the generated set permutes the
+    argmin through the permutation and leaves distances unchanged."""
+    syn = rng.standard_normal((40, 24)).astype(np.float32)
+    q = rng.standard_normal((7, 24)).astype(np.float32)
+    d1, i1 = knn_argmin(jnp.asarray(q), jnp.asarray(syn), engine="gemm",
+                        s_block=8)
+    perm = rng.permutation(40)
+    d2, i2 = knn_argmin(jnp.asarray(q), jnp.asarray(syn[perm]),
+                        engine="gemm", s_block=8)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(perm[np.asarray(i2)], np.asarray(i1))
+
+
+def test_eval_roc_calibration(rng, tmp_path):
+    """Calibration subtracts reference-model losses (eval_roc.py:86-103;
+    the reference's own calibration path crashes on a 5-vs-6 unpack)."""
+    import os
+
+    from ganleaks_tpu.attack.eval_roc import evaluate
+    from ganleaks_tpu.config import EvalConfig
+
+    # dyadic values stay exact through the float32 cast in evaluate()
+    pos = rng.integers(1, 32, 50).astype(np.float64) / 64.0
+    neg = rng.integers(8, 40, 50).astype(np.float64) / 64.0
+    # reference-model losses that fully explain the gap -> calibrated ties
+    ref_pos = pos - 1.0 / 64.0
+    ref_neg = neg - 1.0 / 64.0
+    d_main, d_ref = tmp_path / "main", tmp_path / "ref"
+    for d, (p, n) in ((d_main, (pos, neg)), (d_ref, (ref_pos, ref_neg))):
+        os.makedirs(d)
+        np.save(d / "pos_loss.npy", p.reshape(-1, 1))
+        np.save(d / "neg_loss.npy", n.reshape(-1, 1))
+
+    out = evaluate(EvalConfig(result_load_dir=str(d_main),
+                              reference_load_dir=str(d_ref)))
+    assert "auc_calibrated" in out
+    # calibrated losses are the constant 1/64 for both classes -> all
+    # scores tie -> AUC exactly 0.5
+    np.testing.assert_allclose(out["auc_calibrated"], 0.5, atol=1e-6)
+    assert out["auc"] > 0.5  # uncalibrated: members have lower losses here
+
+
 def test_roc_monotone_transform_invariance(rng):
     """AUROC must be invariant under monotone score transforms (SURVEY §4
     property test)."""
