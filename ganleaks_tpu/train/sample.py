@@ -9,6 +9,7 @@ batches, so a 100k-sample dump is a single device computation.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -18,17 +19,10 @@ import numpy as np
 Array = jax.Array
 
 
-def sample_images(sample_fn: Callable[[Any, Array], Array], variables: Any,
-                  num: int, nz: int, batch: int,
-                  key: Array) -> tuple[Array, Array]:
-    """Draw ``num`` samples with ``sample_fn(variables, z) -> images[-1,1]``.
-
-    Pads internally to a batch multiple and truncates. Returns
-    (noise (num, nz), images01 (num, H, W, C) in [0, 1]). The generator
-    should run in eval mode inside ``sample_fn`` (running BN stats),
-    matching ``gen.eval()`` at ``train_torch.py:150``.
-    """
-    nbatch = -(-num // batch)
+@functools.lru_cache(maxsize=64)
+def _build_sampler(sample_fn: Callable, nbatch: int, batch: int, nz: int):
+    """Compile the batched sampler once per (fn, shape) combination —
+    defining the jit inside the call site would recompile every call."""
 
     @jax.jit
     def run(variables, key):
@@ -41,6 +35,24 @@ def sample_images(sample_fn: Callable[[Any, Array], Array], variables: Any,
 
         return jax.lax.map(one, keys)
 
+    return run
+
+
+def sample_images(sample_fn: Callable[[Any, Array], Array], variables: Any,
+                  num: int, nz: int, batch: int,
+                  key: Array) -> tuple[Array, Array]:
+    """Draw ``num`` samples with ``sample_fn(variables, z) -> images[-1,1]``.
+
+    Pads internally to a batch multiple and truncates. Returns
+    (noise (num, nz), images01 (num, H, W, C) in [0, 1]). The generator
+    should run in eval mode inside ``sample_fn`` (running BN stats),
+    matching ``gen.eval()`` at ``train_torch.py:150``.
+
+    Pass a STABLE ``sample_fn`` (module-level function or reused closure)
+    so the compiled sampler is cache-hit across calls.
+    """
+    nbatch = -(-num // batch)
+    run = _build_sampler(sample_fn, nbatch, batch, nz)
     zs, imgs = run(variables, key)
     zs = zs.reshape(-1, nz)[:num]
     imgs = imgs.reshape((-1,) + imgs.shape[2:])[:num]

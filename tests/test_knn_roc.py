@@ -119,6 +119,29 @@ def test_roc_matches_sklearn(rng, with_ties):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_streamed_cache_and_recompute_paths_agree(rng):
+    """knn_argmin_streamed: the resident-query-cache fast path and the
+    per-block recompute path must produce identical results."""
+    from ganleaks_tpu.ops.knn import knn_argmin_streamed
+
+    syn = rng.standard_normal((37, 6, 6, 3)).astype(np.float32)
+    q = rng.standard_normal((9, 6, 6, 3)).astype(np.float32)
+    embed = lambda x: pixel_embedding(x)
+
+    d1, i1 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(syn),
+                                 q_block=4, s_block=8,
+                                 query_cache_bytes=1 << 30)  # cache on
+    d2, i2 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(syn),
+                                 q_block=4, s_block=8,
+                                 query_cache_bytes=0)        # cache off
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-6, atol=1e-7)
+    # numpy (host-streamed) inputs give the same answer
+    d3, i3 = knn_argmin_streamed(embed, q, syn, q_block=4, s_block=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+
+
 def test_knn_permutation_invariance(rng):
     """Property (SURVEY §4): permuting the generated set permutes the
     argmin through the permutation and leaves distances unchanged."""
