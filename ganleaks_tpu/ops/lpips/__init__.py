@@ -1,5 +1,6 @@
 from ganleaks_tpu.ops.lpips.lpips import (  # noqa: F401
     LPIPS_SHIFT,
+    PerceptualLoss,
     LPIPS_SCALE,
     default_lpips_params,
     init_lpips_params,

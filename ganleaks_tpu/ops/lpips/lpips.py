@@ -189,6 +189,26 @@ def default_lpips_params(net: str = "vgg", seed: int = 0) -> dict:
     return init_lpips_params(seed, net, lin_weights=lins)
 
 
+class PerceptualLoss:
+    """Facade mirroring the reference API
+    (``lpips_pytorch/__init__.py:9-32``): ``forward(pred, target,
+    normalize)`` where ``normalize=True`` means inputs are in [0, 1] and get
+    mapped to [-1, 1] first."""
+
+    def __init__(self, net: str = "vgg", weights: str | None = None,
+                 seed: int = 0):
+        self.params = (load_lpips_params(weights) if weights
+                       else default_lpips_params(net, seed))
+
+    def forward(self, pred, target, normalize: bool = False):
+        if normalize:
+            pred = 2 * pred - 1
+            target = 2 * target - 1
+        return lpips_pair(self.params, target, pred)
+
+    __call__ = forward
+
+
 def embed_dim(params: dict, resolution: int) -> int:
     """Total embedding width at a given input resolution (for planning)."""
     x = jnp.zeros((1, resolution, resolution, 3))

@@ -31,6 +31,24 @@ def load_state(path: str, target: Any) -> Any:
         return serialization.from_bytes(target, f.read())
 
 
+def save_orbax(path: str, state: Any) -> None:
+    """Orbax checkpoint of an arbitrary train-state pytree (async-capable,
+    sharding-aware — preferred for multi-host runs)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_orbax(path: str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
 def save_params_npz(path: str, params: Any) -> None:
     """Flatten a param pytree to an npz of path-keyed arrays (portable,
     inspectable — used for converted torch checkpoints too)."""

@@ -132,6 +132,48 @@ def test_l2_lpips_combined_distance(rng):
     np.testing.assert_allclose(d, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_convert_lpips_state_dict_roundtrip(rng, tmp_path):
+    """tools/convert_lpips: a torchvision-style vgg16 state dict + lin .pth
+    must produce params whose lpips_pair matches the torch oracle."""
+    import torch
+
+    from ganleaks_tpu.ops.lpips.lpips import load_lpips_params, save_lpips_params
+    from ganleaks_tpu.tools.convert_lpips import (
+        VGG16_FEATURE_IDX,
+        convert_backbone_state_dict,
+        convert_lin_state_dict,
+    )
+
+    params, torch_convs, lins = make_shared_params(rng, "vgg")
+
+    # fabricate the torchvision state dict from the same weights
+    sd = {}
+    for idx, (w, b, _s, _p) in zip(VGG16_FEATURE_IDX, torch_convs):
+        sd[f"features.{idx}.weight"] = w
+        sd[f"features.{idx}.bias"] = b
+    lin_sd = {f"lin{i}.model.1.weight":
+              torch.from_numpy(l).view(1, -1, 1, 1)
+              for i, l in enumerate(lins)}
+
+    conv_params = convert_backbone_state_dict(sd, "vgg")
+    lin_params = convert_lin_state_dict(lin_sd)
+    converted = {"net": "vgg", "convs": conv_params,
+                 "lins": [jnp.asarray(l) for l in lin_params]}
+
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(lpips_pair(params, jnp.asarray(x), jnp.asarray(y)))
+    out = np.asarray(lpips_pair(converted, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+
+    # npz round trip
+    path = str(tmp_path / "lp.npz")
+    save_lpips_params(path, converted)
+    reloaded = load_lpips_params(path)
+    out2 = np.asarray(lpips_pair(reloaded, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(out2, ref, rtol=1e-6, atol=1e-7)
+
+
 def test_bundled_reference_lin_weights_load():
     lins = reference_lin_weights("vgg")
     assert [l.shape[0] for l in lins] == [64, 128, 256, 512, 512]
