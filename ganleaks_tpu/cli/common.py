@@ -9,7 +9,7 @@ from typing import Type, TypeVar
 
 import yaml
 
-from ganleaks_tpu.config import apply_overrides, load_config
+from ganleaks_tpu.config import load_config
 
 T = TypeVar("T")
 

@@ -36,17 +36,25 @@ Array = jax.Array
 
 
 class Encoder(nn.Module):
-    """``Encoder(z_dim, d=64)`` (``train.py:61-106``)."""
+    """``Encoder(z_dim, d=64)`` (``train.py:61-106``). The encoder is the
+    only VAE-GAN module the reference applies ``weights_init`` to
+    (``train.py:267`` + ``ops.py:10-16``): conv N(0, 0.02), BatchNorm
+    N(1, 0.02)."""
 
     z_dim: int = 100
     d: int = 64
 
     @nn.compact
     def encode(self, x: Array, train: bool) -> tuple[Array, Array]:
+        from ganleaks_tpu.ops.nn import normal_init, normal_mean_init
+
         h = x
         for i, mult in enumerate((1, 2, 4, 8)):
-            h = Conv2dTorch(self.d * mult, 4, 2, 1, name=f"cv{i + 1}")(h)
-            h = BatchNormTorch(name=f"bn{i + 1}")(
+            h = Conv2dTorch(self.d * mult, 4, 2, 1,
+                            kernel_init=normal_init(0.02),
+                            name=f"cv{i + 1}")(h)
+            h = BatchNormTorch(scale_init=normal_mean_init(1.0, 0.02),
+                               name=f"bn{i + 1}")(
                 h, use_running_average=not train)
             h = nn.relu(h)
         mu_h = ChannelsToLinear(4 * self.z_dim, name="fc1")(h)

@@ -9,7 +9,6 @@ and BN (``model.py:61-64``).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ganleaks_tpu.models.dcgan import Generator  # noqa: F401  (same net)

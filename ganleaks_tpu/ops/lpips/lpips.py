@@ -141,6 +141,25 @@ def lpips_pair(params: dict, x: Array, y: Array) -> Array:
     return val
 
 
+def pnet_pair(params: dict, x: Array, y: Array) -> Array:
+    """Uncalibrated 'net' distance (``networks_basic.PNet``,
+    ``networks_basic.py:21-73``): sum over layers of
+    ``1 - mean_{h,w} cos_sim(f_x, f_y)`` — the DistModel ``model='net'``
+    factory branch (``dist_model.py:77-79``)."""
+    if x.shape[0] != y.shape[0]:
+        n = max(x.shape[0], y.shape[0])
+        x = jnp.broadcast_to(x, (n,) + x.shape[1:])
+        y = jnp.broadcast_to(y, (n,) + y.shape[1:])
+    fx = _features(params, x)
+    fy = _features(params, y)
+    val = 0.0
+    for fl_x, fl_y in zip(fx, fy):
+        cos = jnp.sum(normalize_tensor(fl_x) * normalize_tensor(fl_y),
+                      axis=-1)                       # util.cos_sim
+        val = val + (1.0 - jnp.mean(cos, axis=(1, 2)))
+    return val
+
+
 def lpips_embed(params: dict, x: Array, weight: float = 1.0,
                 dtype=jnp.float32, compute_dtype=None) -> Array:
     """phi(x): concatenated scaled normalized features, so that

@@ -20,7 +20,7 @@ Reference model citations: ``gan_models/dcgan/model_torch.py``,
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

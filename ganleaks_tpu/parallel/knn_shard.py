@@ -25,11 +25,9 @@ lexicographic (distance, index) fold instead.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ganleaks_tpu.ops.knn import _fold_block
 

@@ -24,8 +24,6 @@ once per network per forward, exactly as the torch calls do.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

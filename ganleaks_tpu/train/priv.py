@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +36,7 @@ import optax
 from flax import struct
 
 from ganleaks_tpu.config import DCGANConfig, PGGANConfig, PrivGANConfig
-from ganleaks_tpu.io.artifacts import check_folder, write_synthetic_artifacts
+from ganleaks_tpu.io.artifacts import write_synthetic_artifacts
 from ganleaks_tpu.models import dcgan as dcgan_m
 from ganleaks_tpu.models import pggan as pggan_m
 from ganleaks_tpu.train.gan import bce_with_logits

@@ -26,11 +26,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import struct
 
 from ganleaks_tpu.config import VAEGANConfig
-from ganleaks_tpu.io.artifacts import check_folder, dump_params, write_synthetic_artifacts
+from ganleaks_tpu.io.artifacts import check_folder, dump_params
 from ganleaks_tpu.io.data import DeviceDataset
 from ganleaks_tpu.io.images import get_filepaths_from_dir, read_image, save_png
 from ganleaks_tpu.models.vaegan import (

@@ -132,6 +132,43 @@ def test_l2_lpips_combined_distance(rng):
     np.testing.assert_allclose(d, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_pnet_cosine_matches_torch_oracle(rng):
+    """Uncalibrated 'net' distance: sum_l (1 - mean cos_sim)
+    (``networks_basic.py:51-73``)."""
+    from ganleaks_tpu.ops.lpips import pnet_pair
+
+    params, torch_convs, _lins = make_shared_params(rng, "vgg")
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(y.transpose(0, 3, 1, 2))
+
+    def tower(t):
+        feats = []
+        pool_after = {1, 3, 6, 9}
+        taps = {1, 3, 6, 9, 12}
+        h = (t - SHIFT) / SCALE
+        for i, (w, b, s, p) in enumerate(torch_convs):
+            h = F.relu(F.conv2d(h, w, b, stride=s, padding=p))
+            if i in taps:
+                feats.append(h)
+            if i in pool_after:
+                h = F.max_pool2d(h, 2, 2)
+        return feats
+
+    def normalize(f):
+        return f / (torch.sqrt(torch.sum(f ** 2, dim=1, keepdim=True))
+                    + 1e-10)
+
+    val = 0.0
+    for a, b in zip(tower(xt), tower(yt)):
+        cos = torch.sum(normalize(a) * normalize(b), dim=1)
+        val = val + (1.0 - cos.mean(dim=(1, 2)))
+    out = np.asarray(pnet_pair(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(out, val.numpy(), rtol=1e-4, atol=1e-5)
+
+
 def test_convert_lpips_state_dict_roundtrip(rng, tmp_path):
     """tools/convert_lpips: a torchvision-style vgg16 state dict + lin .pth
     must produce params whose lpips_pair matches the torch oracle."""
