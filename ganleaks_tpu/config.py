@@ -173,8 +173,6 @@ class TrainCommon:
     wandb: str | None = None
     # TPU additions
     mesh_shape: tuple[int, ...] = (1,)   # data-parallel mesh over the batch axis
-    param_dtype: str = "float32"
-    compute_dtype: str = "float32"       # 'bfloat16' for PGGAN-style mixed precision
 
 
 @dataclass

@@ -31,8 +31,12 @@ def _read_train_image(path: str, resolution: int) -> np.ndarray:
 
 
 def load_train_images(data_dir: str, resolution: int = 64,
-                      limit: int | None = None) -> np.ndarray:
-    """Flat image dir -> NHWC float32 array in [-1, 1]."""
+                      limit: int | None = None,
+                      num_threads: int = 8) -> np.ndarray:
+    """Flat image dir -> NHWC float32 array in [-1, 1] (threaded decode;
+    PIL releases the GIL in zlib/jpeg)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     paths = get_filepaths_from_dir(data_dir, "png")
     paths += get_filepaths_from_dir(data_dir, "jpg")
     paths = sorted(paths)
@@ -40,7 +44,10 @@ def load_train_images(data_dir: str, resolution: int = 64,
         paths = paths[:limit]
     if not paths:
         raise FileNotFoundError(f"no images under {data_dir}")
-    return np.stack([_read_train_image(p, resolution) for p in paths])
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        imgs = list(pool.map(lambda p: _read_train_image(p, resolution),
+                             paths))
+    return np.stack(imgs)
 
 
 def epoch_batch_indices(rng: np.random.Generator, n: int, batch_size: int,

@@ -43,7 +43,10 @@ def read_image(filepath: str, resolution: int = 64) -> np.ndarray:
     reference's bare ``img.resize((r, r))`` at ``utils.py:79``). Returns HWC
     float in [-1, 1] — the exact `2*(img/255)-1` scaling of ``utils.py:82``.
     """
-    img = np.asarray(PIL.Image.open(filepath))
+    pil = PIL.Image.open(filepath)
+    if pil.mode != "RGB":  # palette/gray/alpha inputs crash the reference;
+        pil = pil.convert("RGB")  # normalize instead (robustness divergence)
+    img = np.asarray(pil)
     if img.shape != (resolution, resolution, 3):
         img = PIL.Image.fromarray(img)
         img = img.resize((resolution, resolution))
@@ -59,7 +62,10 @@ def read_image_center_crop(filepath: str, resolution: int = 64,
     128 down to ``resolution`` with rint/clip round-tripping through uint8,
     exactly as the reference does.
     """
-    img = np.asarray(PIL.Image.open(filepath))
+    pil = PIL.Image.open(filepath)
+    if pil.mode != "RGB":
+        pil = pil.convert("RGB")
+    img = np.asarray(pil)
     if img.shape != (resolution, resolution, 3):
         img = img[cy - 64: cy + 64, cx - 64: cx + 64]
         resize_factor = 128 // resolution

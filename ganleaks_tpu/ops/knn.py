@@ -23,6 +23,7 @@ strict parity against reference outputs is wanted.
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 
 import jax
@@ -31,8 +32,6 @@ import numpy as np
 
 Array = jax.Array
 
-NEG_INF = -jnp.inf
-
 
 def truncate_to_batches(n_syn: int, batch_size: int) -> int:
     """Reference remainder-drop: only ``(n_syn // B) * B`` synthetic samples
@@ -40,13 +39,14 @@ def truncate_to_batches(n_syn: int, batch_size: int) -> int:
     return (n_syn // batch_size) * batch_size
 
 
-def _pad_rows(x: Array, block: int) -> tuple[Array, int]:
-    n = x.shape[0]
-    pad = (-n) % block
+def pad_rows(x: Array, block: int) -> Array:
+    """Zero-pad axis 0 to a multiple of ``block`` (shared by every kNN
+    layout, incl. the sharded variants in parallel/knn_shard)."""
+    pad = (-x.shape[0]) % block
     if pad:
         x = jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-    return x, n
+    return x
 
 
 @partial(jax.jit, static_argnames=("s_block", "engine"))
@@ -101,11 +101,12 @@ def knn_argmin(emb_q: Array, emb_s: Array, *, engine: str = "gemm",
     n_s = emb_s.shape[0]
     s_block = min(s_block, max(8, n_s))
     if pallas and engine == "gemm":
+        # the kernel picks its own VMEM-safe tile sizes; the XLA-path
+        # q_block/s_block here are HBM-sized and would blow VMEM scratch
         from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
-        return knn_argmin_pallas(emb_q, emb_s, q_block=q_block,
-                                 s_block=s_block)
+        return knn_argmin_pallas(emb_q, emb_s)
 
-    emb_s_p, _ = _pad_rows(emb_s, s_block)
+    emb_s_p = pad_rows(emb_s, s_block)
     outs_d, outs_i = [], []
     for start in range(0, n_q, q_block):
         q = emb_q[start:start + q_block]
@@ -141,6 +142,16 @@ def _fold_block(run_min: Array, run_idx: Array, emb_q: Array, rq: Array,
     return run_min, run_idx
 
 
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jit_cached(fn):
+    try:
+        return _JIT_CACHE.setdefault(fn, jax.jit(fn))
+    except TypeError:  # unhashable/unweakrefable callables
+        return jax.jit(fn)
+
+
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
@@ -159,9 +170,11 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     """
     n_q, n_s = queries.shape[0], syn.shape[0]
     s_pad = (-n_s) % s_block
-    # jit once: block shapes are uniform, and eager op-by-op dispatch of a
-    # VGG tower is pathologically slow on remote-compile backends
-    embed_fn = jax.jit(embed_fn)
+    # jit once PER FUNCTION OBJECT: block shapes are uniform, eager
+    # dispatch of a VGG tower is pathologically slow on remote-compile
+    # backends, and re-wrapping in jax.jit per call would drop the
+    # compilation cache between the pos and neg searches
+    embed_fn = _jit_cached(embed_fn)
 
     # probe the embedding width to decide whether queries fit resident
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(

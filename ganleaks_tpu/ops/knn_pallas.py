@@ -103,6 +103,15 @@ def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 256,
     q_block = min(q_block, max(8, n_q))
     s_block = min(s_block, max(128, n_s))
     k_block = min(k_block, max(128, k_dim))
+    # clamp the f32 accumulator tile to ~4 MB so callers can't blow the
+    # ~16 MB VMEM budget by passing HBM-sized blocks
+    while q_block * s_block * 4 > (4 << 20):
+        if s_block >= q_block and s_block > 128:
+            s_block //= 2
+        elif q_block > 8:
+            q_block //= 2
+        else:
+            break
 
     rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
     rs = jnp.sum(jnp.square(emb_s.astype(jnp.float32)), axis=1)

@@ -29,17 +29,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ganleaks_tpu.ops.knn import _fold_block
+from ganleaks_tpu.ops.knn import _fold_block, pad_rows
 
 Array = jax.Array
-
-
-def _pad_rows_to(x: Array, mult: int) -> Array:
-    pad = (-x.shape[0]) % mult
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-    return x
 
 
 def _local_search(embed_fn, queries: Array, syn_shard: Array,
@@ -62,7 +54,7 @@ def _local_search(embed_fn, queries: Array, syn_shard: Array,
         for ss in range(0, n_s, s_block):
             blk = syn_shard[ss:ss + s_block]
             if blk.shape[0] < s_block:
-                blk = _pad_rows_to(blk, s_block)
+                blk = pad_rows(blk, s_block)
             emb_s = embed_fn(blk)
             n_valid_blk = jnp.clip(n_valid_local - ss, 0, s_block)
             run_min, run_idx = _fold_block(run_min, run_idx, emb_q, rq,
@@ -81,7 +73,7 @@ def knn_argmin_sharded(embed_fn, queries: Array, syn: Array, mesh: Mesh,
     n_dev = mesh.shape[axis]
     n_s = syn.shape[0]
     shard = -(-n_s // n_dev)
-    syn_p = _pad_rows_to(syn, shard * n_dev)
+    syn_p = pad_rows(syn, shard * n_dev)
     s_block = min(s_block, shard)
 
     def local(q, s_shard):
@@ -119,8 +111,8 @@ def knn_argmin_ring(embed_fn, queries: Array, syn: Array, mesh: Mesh,
     n_q = queries.shape[0]
     s_shard = -(-n_s // n_dev)
     q_shard = -(-n_q // n_dev)
-    syn_p = _pad_rows_to(syn, s_shard * n_dev)
-    queries_p = _pad_rows_to(queries, q_shard * n_dev)
+    syn_p = pad_rows(syn, s_shard * n_dev)
+    queries_p = pad_rows(queries, q_shard * n_dev)
     s_blk = min(s_block, s_shard)
 
     def local(q, s0):

@@ -88,6 +88,17 @@ def load_generator_variables(cfg: DCGANConfig, model_dir: str) -> dict:
                        "batch_stats": template["batch_stats"]})
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _sample_fn(nz: int, nc: int, ngf: int):
+    """Stable per-architecture sampler so _build_sampler's compile cache
+    hits across generate() calls (a fresh lambda would defeat it)."""
+    gen = Generator(nz=nz, nc=nc, ngf=ngf)
+    return lambda v, z: gen.apply(v, z, train=False)
+
+
 def generate(cfg: DCGANConfig, state: GANState | None = None,
              run_dir: str | None = None,
              variables: dict | None = None) -> dict[str, str]:
@@ -101,7 +112,7 @@ def generate(cfg: DCGANConfig, state: GANState | None = None,
         else:
             variables = {"params": state.gen.params,
                          "batch_stats": state.gen.batch_stats}
-    sample_fn = lambda v, z: gen.apply(v, z, train=False)
+    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf)
     key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
     batch = min(cfg.num_generated, 512)
     noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,

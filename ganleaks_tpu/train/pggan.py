@@ -56,38 +56,65 @@ def gradient_penalty_fn(critic_apply, c_params, real: Array, fake: Array,
     return jnp.mean(jnp.square(norms - 1.0))
 
 
-@partial(jax.jit, static_argnames=("steps",), donate_argnums=0)
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+@partial(jax.jit, static_argnames=("steps", "compute_dtype"),
+         donate_argnums=0)
 def pggan_train_step(state: GANState, real: Array, alpha, rng: Array,
                      steps: int, lambda_gp: float = 10.0,
-                     drift: float = 0.001):
+                     drift: float = 0.001,
+                     compute_dtype: str = "float32"):
     """One critic + generator update at a fixed resolution
-    (``train.py:96-132``)."""
+    (``train.py:96-132``).
+
+    Mixed precision: with ``compute_dtype='bfloat16'`` the forward/backward
+    networks run in bf16 (params cast inside the loss — the cast is linear
+    so gradients come back in the f32 master params' dtype); losses and the
+    optimizer stay f32. This replaces the reference's CUDA fp16
+    autocast+GradScaler (``train.py:107,162-163``): bf16 shares fp32's
+    exponent range, so no loss scaling is needed.
+    """
+    cdt = jnp.dtype(compute_dtype)
     gen, critic = state.gen, state.disc
     batch = real.shape[0]
     nz = gen.params["initial_convt"]["kernel"].shape[2]
     rng, k_noise, k_eps = jax.random.split(rng, 3)
-    noise = jax.random.normal(k_noise, (batch, nz), real.dtype)
+    real_c = real.astype(cdt)
+    noise = jax.random.normal(k_noise, (batch, nz), cdt)
+    alpha_c = jnp.asarray(alpha, cdt)
 
-    fake = gen.apply_fn(gen.variables(), noise, steps, alpha)
-    eps = jax.random.uniform(k_eps, (batch, 1, 1, 1), real.dtype)
+    fake = gen.apply_fn(_cast_floats(gen.variables(), cdt), noise, steps,
+                        alpha_c)
+    eps = jax.random.uniform(k_eps, (batch, 1, 1, 1), cdt)
 
     def c_loss_fn(c_params):
-        c_real = critic.apply_fn({"params": c_params}, real, steps, alpha)
-        c_fake = critic.apply_fn({"params": c_params},
-                                 jax.lax.stop_gradient(fake), steps, alpha)
-        gp = gradient_penalty_fn(critic.apply_fn, c_params, real, fake,
-                                 eps, steps, alpha)
+        cp = _cast_floats(c_params, cdt)
+        c_real = critic.apply_fn({"params": cp}, real_c, steps, alpha_c)
+        c_fake = critic.apply_fn({"params": cp},
+                                 jax.lax.stop_gradient(fake), steps,
+                                 alpha_c)
+        gp = gradient_penalty_fn(critic.apply_fn, cp, real_c, fake, eps,
+                                 steps, alpha_c)
+        c_real = c_real.astype(jnp.float32)
+        c_fake = c_fake.astype(jnp.float32)
         return (-(jnp.mean(c_real) - jnp.mean(c_fake))
-                + lambda_gp * gp + drift * jnp.mean(jnp.square(c_real)))
+                + lambda_gp * gp.astype(jnp.float32)
+                + drift * jnp.mean(jnp.square(c_real)))
 
     loss_c, c_grads = jax.value_and_grad(c_loss_fn)(critic.params)
     critic = critic.apply_gradients(c_grads)
 
     def g_loss_fn(g_params):
-        fake2 = gen.apply_fn({"params": g_params}, noise, steps, alpha)
-        out = critic.apply_fn({"params": critic.params}, fake2, steps,
-                              alpha)
-        return -jnp.mean(out)
+        fake2 = gen.apply_fn({"params": _cast_floats(g_params, cdt)},
+                             noise, steps, alpha_c)
+        out = critic.apply_fn(
+            {"params": _cast_floats(critic.params, cdt)}, fake2, steps,
+            alpha_c)
+        return -jnp.mean(out.astype(jnp.float32))
 
     loss_g, g_grads = jax.value_and_grad(g_loss_fn)(gen.params)
     gen = gen.apply_gradients(g_grads)
@@ -148,7 +175,8 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
                 step_key = jax.random.fold_in(step_key, 1)
                 state, metrics = pggan_train_step(
                     state, batch, jnp.float32(alpha), step_key, steps,
-                    cfg.lambda_gp, cfg.drift)
+                    cfg.lambda_gp, cfg.drift,
+                    compute_dtype=cfg.compute_dtype)
                 # per-batch alpha ramp (train.py:134-135)
                 alpha = min(
                     alpha + batch.shape[0] / (cfg.num_epochs * 0.5 * n_ds),
@@ -168,6 +196,15 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
     return state
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _sample_fn(nz: int, in_channels: int, nc: int, steps: int):
+    gen = Generator(nz=nz, in_channels=in_channels, nc=nc)
+    return lambda v, z: gen.apply(v, z, steps, 1.0)
+
+
 def generate(cfg: PGGANConfig, state: GANState, run_dir: str | None = None,
              steps: int | None = None) -> dict[str, str]:
     """Batched generation at the final resolution (``train.py:208-257``;
@@ -175,9 +212,8 @@ def generate(cfg: PGGANConfig, state: GANState, run_dir: str | None = None,
     from math import log2
 
     steps = steps if steps is not None else int(log2(cfg.image_size / 4))
-    gen = Generator(nz=cfg.nz, in_channels=cfg.in_channels, nc=cfg.nc)
     variables = {"params": state.gen.params}
-    sample_fn = lambda v, z: gen.apply(v, z, steps, 1.0)
+    sample_fn = _sample_fn(cfg.nz, cfg.in_channels, cfg.nc, steps)
     key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
     batch = min(cfg.num_generated, 128)
     noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,

@@ -261,11 +261,12 @@ def generate_privdcgan(cfg: DCGANConfig, priv_cfg: PrivGANConfig,
                        state: PrivGANState, run_dir: str | None = None,
                        split: int = 0) -> dict[str, str]:
     """Generation from split 0 (``privDCGAN.py:187-215``)."""
-    gen = dcgan_m.Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    from ganleaks_tpu.train.dcgan import _sample_fn
+
     variables = jax.tree_util.tree_map(
         lambda x: x[split], {"params": state.genS.params,
                              "batch_stats": state.genS.batch_stats})
-    sample_fn = lambda v, z: gen.apply(v, z, train=False)
+    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf)
     key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
     b = min(cfg.num_generated, 512)
     noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,
@@ -462,12 +463,12 @@ def generate_privpggan(cfg: PGGANConfig, priv_cfg: PrivGANConfig,
     (``privPGGAN.py:372-435``)."""
     from math import log2
 
+    from ganleaks_tpu.train.pggan import _sample_fn as _pggan_sample_fn
+
     steps = steps if steps is not None else int(log2(cfg.image_size / 4))
-    gen = pggan_m.Generator(nz=cfg.nz, in_channels=cfg.in_channels,
-                            nc=cfg.nc)
     variables = jax.tree_util.tree_map(lambda x: x[split],
                                        {"params": state.genS.params})
-    sample_fn = lambda v, z: gen.apply(v, z, steps, 1.0)
+    sample_fn = _pggan_sample_fn(cfg.nz, cfg.in_channels, cfg.nc, steps)
     key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
     b = min(cfg.num_generated, 128)
     noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,

@@ -245,11 +245,10 @@ def sample(cfg: VAEGANConfig, state: VAEGANState,
     """``sample.py``: seed 1000, batches of 100, ``generated.npz`` with
     noise (N, z) and img_r01 (N, H, W, C) in [0,1] + a 10x10 grid."""
     check_folder(out_dir)
-    gen = Generator(z_dim=cfg.z_dim, d=cfg.d)
     variables = {"params": state.gen.params,
                  "batch_stats": state.gen.batch_stats,
                  **dict(state.gen.extra)}
-    sample_fn = lambda v, z: gen.apply(v, z, train=False)
+    sample_fn = _vaegan_sample_fn(cfg.z_dim, cfg.d)
     key = jax.random.key(1000)
     noise, img01 = sample_to_host(sample_fn, variables, cfg.num_samples,
                                   cfg.z_dim, 100, key)
@@ -257,6 +256,15 @@ def sample(cfg: VAEGANConfig, state: VAEGANState,
                         noise=noise, img_r01=img01)
     _save_grid(img01[:100], os.path.join(out_dir, "samples.png"), (10, 10))
     return {"out_dir": out_dir}
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _vaegan_sample_fn(z_dim: int, d: int):
+    gen = Generator(z_dim=z_dim, d=d)
+    return lambda v, z: gen.apply(v, z, train=False)
 
 
 def _save_grid(imgs01: np.ndarray, path: str, grid: tuple[int, int]) -> None:

@@ -143,10 +143,11 @@ def train(cfg: WGANGPConfig, images: np.ndarray | None = None,
 def generate(cfg: WGANGPConfig, state: GANState,
              run_dir: str | None = None) -> dict[str, str]:
     """Reference artifact triplet (``wgangp/train.py:153-174``)."""
-    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    from ganleaks_tpu.train.dcgan import _sample_fn
+
     variables = {"params": state.gen.params,
                  "batch_stats": state.gen.batch_stats}
-    sample_fn = lambda v, z: gen.apply(v, z, train=False)
+    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf)  # same net as DCGAN
     key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
     batch = min(cfg.num_generated, 512)
     noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,

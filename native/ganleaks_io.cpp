@@ -65,17 +65,24 @@ int decode_png_rgb(const char* path, Image* out) {
   png_set_sig_bytes(png, 8);
   png_read_info(png, info);
 
-  // normalize every input to 8-bit RGB
+  // normalize every input to 8-bit RGB (transparency is DROPPED, matching
+  // PIL.Image.open on RGB-consumed PNGs; tRNS is never expanded to alpha)
   png_byte color = png_get_color_type(png, info);
   png_byte depth = png_get_bit_depth(png, info);
   if (depth == 16) png_set_strip_16(png);
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
   if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
   png_read_update_info(png, info);
+  // belt-and-suspenders: our row buffers are exactly w*3; any transform
+  // combination that doesn't land on 8-bit RGB falls back to the PIL reader
+  if (png_get_channels(png, info) != 3 || png_get_bit_depth(png, info) != 8) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return kErrDecode;
+  }
 
   out->w = static_cast<int>(png_get_image_width(png, info));
   out->h = static_cast<int>(png_get_image_height(png, info));
@@ -101,8 +108,15 @@ int postprocess(const Image& img, int resolution, int mode, float* dst) {
   const int res = resolution;
   if (img.w == res && img.h == res) {
     const size_t n = static_cast<size_t>(res) * res * 3;
-    for (size_t i = 0; i < n; ++i)
-      dst[i] = to_tanh_range(static_cast<float>(img.pixels[i]));
+    if (mode == kCenterCrop) {
+      // read_image_center_crop scales in FLOAT32 (io/images.py:72-73)
+      for (size_t i = 0; i < n; ++i)
+        dst[i] = (static_cast<float>(img.pixels[i]) / 255.0f) * 2.0f - 1.0f;
+    } else {
+      // read_image scales in float64 then casts (io/images.py:56)
+      for (size_t i = 0; i < n; ++i)
+        dst[i] = to_tanh_range(static_cast<double>(img.pixels[i]));
+    }
     return kOk;
   }
   if (mode == kExact) return kErrShape;
