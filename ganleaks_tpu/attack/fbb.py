@@ -90,11 +90,14 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     def search(queries: np.ndarray):
         q_j = jnp.asarray(queries)
         if mesh is not None:
-            from ganleaks_tpu.parallel.knn_shard import knn_argmin_sharded
-            d, i = knn_argmin_sharded(embed, q_j, syn_j, mesh,
-                                      engine=cfg.engine,
-                                      q_block=cfg.query_block,
-                                      s_block=cfg.syn_block)
+            from ganleaks_tpu.parallel.knn_shard import (
+                knn_argmin_ring, knn_argmin_sharded)
+            shard_fn = (knn_argmin_ring if cfg.shard_layout == "ring"
+                        else knn_argmin_sharded)
+            d, i = shard_fn(embed, q_j, syn_j, mesh,
+                            engine=cfg.engine,
+                            q_block=cfg.query_block,
+                            s_block=cfg.syn_block)
         else:
             d, i = knn_argmin_streamed(embed, q_j, syn_j,
                                        engine=cfg.engine,
@@ -126,7 +129,17 @@ def plot_closest_images(nn_idx: np.ndarray, queries: np.ndarray,
 
 def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
     """Full driver incl. the hyperparameter-search directory sweep
-    (``fbb.py:111-179``)."""
+    (``fbb.py:111-179``). ``cfg.n_chips > 1`` builds a 1-D mesh and shards
+    the generated set (or both sets with shard_layout='ring')."""
+    if mesh is None and cfg.n_chips > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < cfg.n_chips:
+            raise ValueError(f"n_chips={cfg.n_chips} but only "
+                             f"{len(devs)} devices visible")
+        mesh = Mesh(_np.asarray(devs[:cfg.n_chips]), ("syn",))
     if cfg.hyperparameter_search:
         root = cfg.syn_data_path
         subdirs = sorted(

@@ -132,6 +132,9 @@ class AttackConfig:
     query_block: int = 2048        # query tile streamed on device
     syn_block: int = 8192          # generated-set tile streamed on device
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE
+    n_chips: int = 1               # >1: shard the generated set over a mesh
+    shard_layout: str = "sharded"  # 'sharded' (queries replicated) | 'ring'
+                                   # (both sets sharded, ppermute rotation)
     save_plots: bool = True        # the 20 closest-pair PNGs (fbb.py:91-106)
     wandb: str | None = None
     seed: int = 0
