@@ -43,3 +43,24 @@ def enable_nan_debugging(enabled: bool = True) -> None:
     """SURVEY §5 sanitizer plan: the TPU analog of the reference's
     ``torch.autograd.set_detect_anomaly(True)`` (``privDCGAN.py:63``)."""
     jax.config.update("jax_debug_nans", enabled)
+
+
+def checked(fn, *, errors=None):
+    """Wrap a jittable function with ``jax.experimental.checkify`` NaN/OOB
+    guards (debug mode for kernels/steps): returns a function that raises
+    host-side on the first NaN or out-of-bounds index instead of silently
+    propagating. Debug tool — adds overhead; intended for CPU debug runs
+    (remote-compile TPU backends can be very slow compiling the error
+    branches). For TPU-side NaN hunting prefer enable_nan_debugging."""
+    from jax.experimental import checkify
+
+    errs = errors if errors is not None else (
+        checkify.float_checks | checkify.index_checks)
+    cfn = checkify.checkify(fn, errors=errs)
+
+    def wrapped(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapped

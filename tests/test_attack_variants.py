@@ -48,6 +48,19 @@ def test_reconstruction_scores_vaegan(rng):
     assert np.isfinite(scores).all() and (scores >= 0).all()
 
 
+def test_checkify_guard(rng):
+    """utils.profiling.checked: NaN raises instead of propagating."""
+    import jax.numpy as jnp
+
+    from ganleaks_tpu.utils.profiling import checked
+
+    f = checked(lambda x: jnp.log(x))
+    assert float(f(jnp.array([1.0]))[0]) == 0.0
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        f(jnp.array([-1.0]))
+
+
 def test_trace_stage_meters():
     meters = {}
     with trace_stage("featurize", meters, items=100):
