@@ -97,6 +97,9 @@ def run_gen_bench(num: int = 4096, batch: int = 512) -> dict:
 
 
 def main() -> None:
+    from ganleaks_tpu.cli.common import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--metric", default="knn", choices=["knn", "gen"])

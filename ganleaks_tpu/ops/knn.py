@@ -169,12 +169,25 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     long as axis 0 indexes samples.
     """
     n_q, n_s = queries.shape[0], syn.shape[0]
-    s_pad = (-n_s) % s_block
     # jit once PER FUNCTION OBJECT: block shapes are uniform, eager
     # dispatch of a VGG tower is pathologically slow on remote-compile
     # backends, and re-wrapping in jax.jit per call would drop the
     # compilation cache between the pos and neg searches
     embed_fn = _jit_cached(embed_fn)
+
+    q_block = min(q_block, n_q)
+    s_block = min(s_block, n_s)
+    s_pad = (-n_s) % s_block
+
+    def embed_q_block(qs: int):
+        """Featurize one query block, padded to q_block so every block
+        shares ONE compiled shape (ragged tails would each compile the
+        whole tower — ~40s apiece on remote-compile backends)."""
+        blk = queries[qs:qs + q_block]
+        n_valid = blk.shape[0]
+        if n_valid < q_block:
+            blk = pad_rows(blk, q_block)
+        return embed_fn(blk)[:n_valid]
 
     # probe the embedding width to decide whether queries fit resident
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
@@ -182,8 +195,7 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     emb_bytes = n_q * probe.shape[1] * probe.dtype.itemsize
     if emb_bytes <= query_cache_bytes:
         emb_q_full = jnp.concatenate(
-            [embed_fn(queries[qs:qs + q_block])
-             for qs in range(0, n_q, q_block)])
+            [embed_q_block(qs) for qs in range(0, n_q, q_block)])
         rq = jnp.sum(jnp.square(emb_q_full.astype(jnp.float32)), axis=1)
         run_min = jnp.full((n_q,), jnp.inf, jnp.float32)
         run_idx = jnp.zeros((n_q,), jnp.int32)
@@ -210,7 +222,7 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
 
     out_d, out_i = [], []
     for qs in range(0, n_q, q_block):
-        emb_q = embed_fn(queries[qs:qs + q_block])
+        emb_q = embed_q_block(qs)
         rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
         run_min = jnp.full((emb_q.shape[0],), jnp.inf, jnp.float32)
         run_idx = jnp.zeros((emb_q.shape[0],), jnp.int32)
