@@ -230,6 +230,30 @@ def test_medgan_losses_match_torch(rng):
         ref_d, rtol=1e-6)
 
 
+def test_medgan_csv_loader(tmp_path, rng):
+    """CSV -> median-fill -> sklearn 90/10 split with random_state=42
+    (``medgan/model.py:107-130``) — verified against the same sklearn call."""
+    import pandas as pd
+    from sklearn.model_selection import train_test_split
+
+    data = rng.random((40, 5))
+    data[3, 2] = np.nan  # median-fill path
+    df = pd.DataFrame(data, columns=[f"c{i}" for i in range(5)])
+    csv = tmp_path / "ehr.csv"
+    df.to_csv(csv, index=False)
+
+    train = medgan_t.load_csv_dataset(str(csv), train=True)
+    test = medgan_t.load_csv_dataset(str(csv), train=False)
+    assert train.shape == (36, 5) and test.shape == (4, 5)
+    assert np.isfinite(train).all() and np.isfinite(test).all()
+
+    filled = df.fillna(df.median())
+    ref_train, ref_test = train_test_split(filled, test_size=0.1,
+                                           random_state=42)
+    np.testing.assert_allclose(train, ref_train.values.astype(np.float32))
+    np.testing.assert_allclose(test, ref_test.values.astype(np.float32))
+
+
 def test_medgan_train_and_generate(tmp_path, rng):
     cfg = MedGANConfig(latent_dim=8, hidden_gen=8, hidden_disc1=8,
                        hidden_disc2=8, batch_size=16, n_epochs=2,
