@@ -167,7 +167,30 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     re-featurized per query block (``N_q + N_s * ceil(N_q/q_block)``).
     Queries/syn can be image arrays or anything ``embed_fn`` accepts, as
     long as axis 0 indexes samples.
+
+    On device OOM (embedding buffers + tower activations exceeding HBM for
+    the chosen blocks) the search restarts with halved blocks — results are
+    block-size-invariant (tested), only throughput changes.
     """
+    while True:
+        try:
+            return _knn_argmin_streamed(
+                embed_fn, queries, syn, engine=engine, q_block=q_block,
+                s_block=s_block, pallas=pallas,
+                query_cache_bytes=query_cache_bytes)
+        except Exception as e:  # jaxlib error types vary across backends
+            if "RESOURCE_EXHAUSTED" not in str(e) or q_block <= 8:
+                raise
+            q_block = max(8, q_block // 2)
+            s_block = max(8, s_block // 2)
+            print(f"[knn] device OOM; retrying with q_block={q_block}, "
+                  f"s_block={s_block}")
+
+
+def _knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
+                         engine: str, q_block: int, s_block: int,
+                         pallas: bool, query_cache_bytes: int
+                         ) -> tuple[Array, Array]:
     n_q, n_s = queries.shape[0], syn.shape[0]
     # jit once PER FUNCTION OBJECT: block shapes are uniform, eager
     # dispatch of a VGG tower is pathologically slow on remote-compile
