@@ -49,3 +49,32 @@ def test_l2_and_dssim_distances(rng):
         assert (d > 0).all() and (d < 1).all()
         np.testing.assert_allclose(dssim_distance(a, a, cs), 0.0,
                                    atol=1e-12)
+
+
+def test_2afc_and_jnd_scores(rng):
+    from ganleaks_tpu.ops.lpips.scoring import score_2afc, score_jnd
+
+    # gt = fraction of humans judging p1 more similar; a perfect metric
+    # has d1 < d0 exactly when gt = 1 (dist_model.py:278-288)
+    gts = (rng.random(50) > 0.5).astype(np.float64)
+    d0 = np.where(gts == 1, 0.9, 0.1)
+    d1 = np.where(gts == 1, 0.1, 0.9)
+    assert score_2afc(d0, d1, gts) == 1.0
+    assert score_2afc(d1, d0, gts) == 0.0   # anti-metric
+    # ties count toward p0 (reference semantics): score = mean(1-gt)
+    assert score_2afc(d0, d0, gts) == float(np.mean(1.0 - gts))
+
+    # JND: perfectly separable distances -> mAP 1
+    sames = np.array([1, 1, 1, 0, 0, 0], np.float64)
+    ds = np.array([0.1, 0.2, 0.3, 0.8, 0.9, 1.0])
+    assert abs(score_jnd(ds, sames) - 1.0) < 1e-12
+    # the reference's voc_ap uses the monotone precision ENVELOPE, so its
+    # AP upper-bounds sklearn's step integral but tracks it closely
+    from sklearn.metrics import average_precision_score
+
+    ds = rng.random(200)
+    sames = (rng.random(200) < 0.4).astype(np.float64)
+    ours = score_jnd(ds, sames)
+    ref = average_precision_score(sames, -ds)
+    assert ours >= ref - 1e-12
+    assert abs(ours - ref) < 0.05
