@@ -30,19 +30,31 @@ import numpy as np
 REFERENCE_CPU_PAIRS_PER_SEC = 15.0
 
 
+def _sync(*arrays) -> None:
+    """Force completion via a device->host readback: on the tunneled
+    remote backend ``block_until_ready`` returns before execution
+    finishes, so timing must end on an actual transfer. Single-element
+    indexing (never ravel/reshape: that copies the whole array into a
+    padded tiled layout — 42x blowup for NHWC c=3)."""
+    for a in arrays:
+        np.asarray(a[(0,) * a.ndim])
+
+
 def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
               q_block: int, s_block: int, dtype: str,
-              compute_dtype: str | None = None) -> dict:
+              compute_dtype: str | None = None,
+              two_pass: bool = False, two_pass_k: int = 4) -> dict:
     from ganleaks_tpu.ops.distance import make_embed_fn
-    from ganleaks_tpu.ops.knn import knn_argmin_streamed
+    from ganleaks_tpu.ops.knn import knn_argmin_streamed, knn_argmin_two_pass
     from ganleaks_tpu.ops.lpips import default_lpips_params, lpips_embed_fn
 
-    rng = np.random.default_rng(0)
-    syn = jnp.asarray(rng.uniform(-1, 1, (n_syn, resolution, resolution, 3))
-                      .astype(np.float32))
-    queries = jnp.asarray(rng.uniform(-1, 1,
-                                      (n_q, resolution, resolution, 3))
-                          .astype(np.float32))
+    # generate on device: the tunneled host->TPU link is ~13 MB/s
+    make = jax.jit(lambda key, n: jax.random.uniform(
+        key, (n, resolution, resolution, 3), jnp.float32, -1, 1),
+        static_argnums=(1,))
+    syn = make(jax.random.key(0), n_syn)
+    queries = make(jax.random.key(1), n_q)
+    _sync(syn, queries)
 
     params = default_lpips_params("vgg")
     cdt = jnp.dtype(compute_dtype) if compute_dtype else None
@@ -52,14 +64,26 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
                                          compute_dtype=cdt),
                           dtype=jnp.dtype(dtype))
 
-    use_pallas = engine == "pallas"
+    if two_pass:
+        # exact-index throughput mode: bf16 candidate pass + f32 rerank
+        embed_lo = make_embed_fn(
+            "l2-lpips", lpips_embed_fn(params, weight=0.2,
+                                       dtype=jnp.bfloat16,
+                                       compute_dtype=jnp.bfloat16),
+            dtype=jnp.bfloat16)
 
-    def attack():
-        d, i = knn_argmin_streamed(embed, queries, syn, engine="gemm",
-                                   q_block=q_block, s_block=s_block,
-                                   pallas=use_pallas)
-        jax.block_until_ready(d)
-        return d, i
+        def attack():
+            d, i = knn_argmin_two_pass(embed_lo, embed, queries, syn,
+                                       k=two_pass_k, engine=engine,
+                                       q_block=q_block, s_block=s_block)
+            _sync(d, i)
+            return d, i
+    else:
+        def attack():
+            d, i = knn_argmin_streamed(embed, queries, syn, engine=engine,
+                                       q_block=q_block, s_block=s_block)
+            _sync(d, i)
+            return d, i
 
     attack()  # compile warmup
     t0 = time.perf_counter()
@@ -104,12 +128,16 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--metric", default="knn", choices=["knn", "gen"])
     ap.add_argument("--engine", default="gemm",
-                    choices=["gemm", "pallas"])
+                    choices=["gemm", "pallas", "exact"])
     ap.add_argument("--n_q", type=int, default=None)
     ap.add_argument("--n_syn", type=int, default=None)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--compute_dtype", default=None,
                     help="'bfloat16' runs the LPIPS tower at MXU bf16 rate")
+    ap.add_argument("--two_pass", action="store_true",
+                    help="bf16 candidate pass + exact f32 re-rank "
+                         "(indices identical to the f32 path)")
+    ap.add_argument("--two_pass_k", type=int, default=4)
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -135,20 +163,24 @@ def main() -> None:
     engine = args.engine
     try:
         out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
-                        args.dtype, args.compute_dtype)
+                        args.dtype, args.compute_dtype,
+                        two_pass=args.two_pass, two_pass_k=args.two_pass_k)
     except Exception as e:  # pallas unsupported on this backend -> XLA path
         if engine == "pallas":
             print(f"# pallas engine failed ({type(e).__name__}: {e}); "
                   "falling back to gemm", flush=True)
             engine = "gemm"
             out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
-                            args.dtype, args.compute_dtype)
+                            args.dtype, args.compute_dtype,
+                            two_pass=args.two_pass,
+                            two_pass_k=args.two_pass_k)
         else:
             raise
 
     value = out["pairs_per_sec"]
+    mode = f"{engine}+two-pass" if args.two_pass else engine
     print(json.dumps({
-        "metric": f"fbb LPIPS kNN query-pairs/sec ({platform}, {engine}, "
+        "metric": f"fbb LPIPS kNN query-pairs/sec ({platform}, {mode}, "
                   f"{out['n_q']}x{out['n_syn']} @64x64)",
         "value": round(value, 1),
         "unit": "query-pairs/sec",

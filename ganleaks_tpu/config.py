@@ -220,6 +220,7 @@ class PGGANConfig(TrainCommon):
     drift: float = 0.001          # 0.001 * E[critic(real)^2] (train.py:116)
     num_generated: int = 10000
     compute_dtype: str = "bfloat16"  # reference uses fp16 autocast (train.py:107)
+    hflip: bool = True             # RandomHorizontalFlip(p=0.5), train.py:83
 
 
 @dataclass

@@ -1,6 +1,7 @@
 from ganleaks_tpu.io.images import (  # noqa: F401
     get_filepaths_from_dir,
     load_image_dir,
+    nearest_resize,
     read_image,
     read_image_center_crop,
     save_png,

@@ -76,3 +76,14 @@ class DeviceDataset:
         for idx in epoch_batch_indices(self._rng, len(self), batch_size,
                                        drop_last):
             yield self.images[jnp.asarray(idx)]
+
+
+def random_hflip(batch, key):
+    """``RandomHorizontalFlip(p=0.5)`` (``gan_models/pggan/train.py:83``)
+    as a device-side masked reverse along W — one Bernoulli draw per
+    sample (all leading axes before HWC), jit-safe."""
+    import jax
+
+    lead = batch.shape[:-3]
+    flip = jax.random.bernoulli(key, 0.5, lead + (1, 1, 1))
+    return jnp.where(flip, batch[..., ::-1, :], batch)

@@ -120,3 +120,20 @@ def save_png(img: np.ndarray, path: str, drange=(0.0, 1.0),
     """Save one HWC image. With the defaults this matches torchvision's
     ``ToPILImage`` on a [0,1] tensor (``train_torch.py:155,171-174``)."""
     PIL.Image.fromarray(to_uint8(img, drange, rounding)).save(path)
+
+
+def nearest_resize(images, size: int):
+    """PIL-NEAREST-exact resize over the trailing (H, W, C) axes.
+
+    Output pixel ``i`` samples input row/col ``floor((i + 0.5) * S / s)``
+    — PIL's center-aligned nearest mapping, verified element-exact against
+    ``PIL.Image.resize(..., NEAREST)`` in tests. Replicates the PGGAN
+    loader's ``transforms.Resize(size, interpolation=Image.NEAREST)``
+    (``gan_models/pggan/train.py:82-88``) as a pure gather, so it runs
+    device-side on jnp arrays as well as on numpy."""
+    h, w = images.shape[-3], images.shape[-2]
+    if h == size and w == size:
+        return images
+    ri = np.floor((np.arange(size) + 0.5) * h / size).astype(np.int32)
+    ci = np.floor((np.arange(size) + 0.5) * w / size).astype(np.int32)
+    return images[..., ri[:, None], ci[None, :], :]

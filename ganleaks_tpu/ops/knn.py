@@ -100,6 +100,8 @@ def knn_argmin(emb_q: Array, emb_s: Array, *, engine: str = "gemm",
     n_q = emb_q.shape[0]
     n_s = emb_s.shape[0]
     s_block = min(s_block, max(8, n_s))
+    if engine == "pallas":
+        engine, pallas = "gemm", True
     if pallas and engine == "gemm":
         # the kernel picks its own VMEM-safe tile sizes; the XLA-path
         # q_block/s_block here are HBM-sized and would blow VMEM scratch
@@ -152,6 +154,10 @@ def _jit_cached(fn):
         return jax.jit(fn)
 
 
+def _is_oom(e: Exception) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(e)  # jaxlib types vary per backend
+
+
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
@@ -168,108 +174,238 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     Queries/syn can be image arrays or anything ``embed_fn`` accepts, as
     long as axis 0 indexes samples.
 
-    On device OOM (embedding buffers + tower activations exceeding HBM for
-    the chosen blocks) the search restarts with halved blocks — results are
-    block-size-invariant (tested), only throughput changes.
+    On device OOM, only the OFFENDING dimension's block is halved and the
+    search RESUMES: query featurize failures halve ``q_block`` keeping the
+    already-featurized query blocks; synthetic-stream failures halve
+    ``s_block`` keeping the running (min, argmin) partials and the query
+    embedding cache — no completed block is recomputed.
+
+    ``engine`` is 'gemm' | 'exact' | 'pallas' ('pallas' = gemm math in the
+    fused VMEM-argmin kernel, ``ops/knn_pallas.py``).
     """
-    while True:
-        try:
-            return _knn_argmin_streamed(
-                embed_fn, queries, syn, engine=engine, q_block=q_block,
-                s_block=s_block, pallas=pallas,
-                query_cache_bytes=query_cache_bytes)
-        except Exception as e:  # jaxlib error types vary across backends
-            if "RESOURCE_EXHAUSTED" not in str(e) or q_block <= 8:
-                raise
-            q_block = max(8, q_block // 2)
-            s_block = max(8, s_block // 2)
-            print(f"[knn] device OOM; retrying with q_block={q_block}, "
-                  f"s_block={s_block}")
-
-
-def _knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
-                         engine: str, q_block: int, s_block: int,
-                         pallas: bool, query_cache_bytes: int
-                         ) -> tuple[Array, Array]:
+    if engine == "pallas":
+        engine, pallas = "gemm", True
     n_q, n_s = queries.shape[0], syn.shape[0]
     # jit once PER FUNCTION OBJECT: block shapes are uniform, eager
     # dispatch of a VGG tower is pathologically slow on remote-compile
     # backends, and re-wrapping in jax.jit per call would drop the
     # compilation cache between the pos and neg searches
     embed_fn = _jit_cached(embed_fn)
-
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
-    s_pad = (-n_s) % s_block
 
-    def embed_q_block(qs: int):
-        """Featurize one query block, padded to q_block so every block
-        shares ONE compiled shape (ragged tails would each compile the
-        whole tower — ~40s apiece on remote-compile backends)."""
-        blk = queries[qs:qs + q_block]
+    def embed_rows(x: Array, qs: int, block: int) -> Array:
+        """Featurize ``x[qs:qs+block]``, padded to ``block`` so blocks of
+        one size share ONE compiled shape (ragged tails would each compile
+        the whole tower — ~40s apiece on remote-compile backends)."""
+        blk = x[qs:qs + block]
         n_valid = blk.shape[0]
-        if n_valid < q_block:
-            blk = pad_rows(blk, q_block)
+        if n_valid < block:
+            blk = pad_rows(blk, block)
         return embed_fn(blk)[:n_valid]
+
+    def featurize_queries(qs0: int, parts: list[Array]) -> list[Array]:
+        """Resumable query featurize: ``parts`` holds completed blocks;
+        on OOM q_block halves and the walk continues from where it was."""
+        nonlocal q_block
+        qs = qs0
+        while qs < n_q:
+            try:
+                part = embed_rows(queries, qs, q_block)
+            except Exception as e:
+                if not _is_oom(e) or q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                print(f"[knn] query featurize OOM; q_block={q_block} "
+                      f"(resuming at row {qs})")
+                continue
+            parts.append(part)
+            qs += part.shape[0]
+        return parts
+
+    def sweep_syn(emb_q: Array, rq: Array) -> tuple[Array, Array]:
+        """Resumable synthetic sweep: on OOM s_block halves and the sweep
+        resumes from the current position with the running (min, argmin)
+        partials intact."""
+        nonlocal s_block
+        run_min = jnp.full((emb_q.shape[0],), jnp.inf, jnp.float32)
+        run_idx = jnp.zeros((emb_q.shape[0],), jnp.int32)
+        ss = 0
+        while ss < n_s:
+            try:
+                emb_s = embed_rows(syn, ss, s_block)
+                n_valid = emb_s.shape[0]
+                if n_valid < s_block:
+                    emb_s = pad_rows(emb_s, s_block)
+                if pallas and engine == "gemm":
+                    from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
+                    d_blk, i_blk = knn_argmin_pallas(emb_q,
+                                                     emb_s[:n_valid])
+                    better = d_blk < run_min  # in-order: first index kept
+                    new_min = jnp.where(better, d_blk, run_min)
+                    new_idx = jnp.where(better, ss + i_blk, run_idx)
+                else:
+                    new_min, new_idx = _fold_block(
+                        run_min, run_idx, emb_q, rq, emb_s, ss,
+                        jnp.asarray(n_valid), engine)
+            except Exception as e:
+                if not _is_oom(e) or s_block <= 1:
+                    raise
+                s_block = max(1, s_block // 2)
+                print(f"[knn] synthetic stream OOM; s_block={s_block} "
+                      f"(resuming at row {ss})")
+                continue
+            run_min, run_idx = new_min, new_idx
+            ss += n_valid
+        return run_min, run_idx
 
     # probe the embedding width to decide whether queries fit resident
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
     emb_bytes = n_q * probe.shape[1] * probe.dtype.itemsize
     if emb_bytes <= query_cache_bytes:
-        emb_q_full = jnp.concatenate(
-            [embed_q_block(qs) for qs in range(0, n_q, q_block)])
+        parts = featurize_queries(0, [])
+        emb_q_full = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         rq = jnp.sum(jnp.square(emb_q_full.astype(jnp.float32)), axis=1)
-        run_min = jnp.full((n_q,), jnp.inf, jnp.float32)
-        run_idx = jnp.zeros((n_q,), jnp.int32)
-        for ss in range(0, n_s, s_block):
-            blk = syn[ss:ss + s_block]
-            n_valid = blk.shape[0]
-            if n_valid < s_block and s_pad:
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros((s_block - n_valid,) + blk.shape[1:],
-                                    blk.dtype)], axis=0)
-            emb_s = embed_fn(blk)
-            if pallas and engine == "gemm":
-                from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
-                d_blk, i_blk = knn_argmin_pallas(emb_q_full,
-                                                 emb_s[:n_valid])
-                better = d_blk < run_min
-                run_min = jnp.where(better, d_blk, run_min)
-                run_idx = jnp.where(better, ss + i_blk, run_idx)
-            else:
-                run_min, run_idx = _fold_block(
-                    run_min, run_idx, emb_q_full, rq, emb_s, ss,
-                    jnp.asarray(n_valid), engine)
-        return run_min, run_idx
+        return sweep_syn(emb_q_full, rq)
 
     out_d, out_i = [], []
-    for qs in range(0, n_q, q_block):
-        emb_q = embed_q_block(qs)
+    qs = 0
+    while qs < n_q:
+        try:
+            emb_q = embed_rows(queries, qs, q_block)
+        except Exception as e:
+            if not _is_oom(e) or q_block <= 1:
+                raise
+            q_block = max(1, q_block // 2)
+            print(f"[knn] query featurize OOM; q_block={q_block} "
+                  f"(resuming at row {qs})")
+            continue
         rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
-        run_min = jnp.full((emb_q.shape[0],), jnp.inf, jnp.float32)
-        run_idx = jnp.zeros((emb_q.shape[0],), jnp.int32)
+        d, i = sweep_syn(emb_q, rq)
+        out_d.append(d)
+        out_i.append(i)
+        qs += emb_q.shape[0]
+    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+
+
+@partial(jax.jit, static_argnames=("k", "engine"))
+def _fold_block_topk(run_d: Array, run_i: Array, emb_q: Array, rq: Array,
+                     emb_s_blk: Array, col0: int, n_valid: Array,
+                     k: int, engine: str) -> tuple[Array, Array]:
+    """Fold one distance tile into a running per-query top-k.
+
+    ``run_d``/``run_i`` are (N_q, k), distance-ascending with FIRST-index
+    tie-break: ``lax.top_k`` is stable (equal values keep lower position),
+    running entries are concatenated before the block's columns, and
+    column ids ascend — so among equal distances the earliest global index
+    always stays in front, matching ``torch.min`` (``fbb.py:86-88``) when
+    the top-1 is read off.
+    """
+    if engine == "gemm":
+        rs = jnp.sum(jnp.square(emb_s_blk.astype(jnp.float32)), axis=1)
+        cross = jax.lax.dot_general(
+            emb_q, emb_s_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = rq[:, None] + rs[None, :] - 2.0 * cross
+    else:
+        diff = emb_q[:, None, :].astype(jnp.float32) \
+            - emb_s_blk[None, :, :].astype(jnp.float32)
+        d = jnp.sum(jnp.square(diff), axis=-1)
+    local = jnp.arange(emb_s_blk.shape[0])
+    d = jnp.where(local[None, :] < n_valid, d, jnp.inf)
+    cat_d = jnp.concatenate([run_d, d], axis=1)
+    cat_i = jnp.concatenate(
+        [run_i, jnp.broadcast_to(col0 + local.astype(jnp.int32),
+                                 d.shape)], axis=1)
+    neg_top, pos = jax.lax.top_k(-cat_d, k)
+    return -neg_top, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
+def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
+                      engine: str = "gemm", q_block: int = 2048,
+                      s_block: int = 2048,
+                      query_cache_bytes: int = 6 << 30
+                      ) -> tuple[Array, Array]:
+    """Per-query k smallest distances + their indices, streamed like
+    :func:`knn_argmin_streamed` (embeddings produced block by block,
+    queries featurized once when they fit in ``query_cache_bytes``)."""
+    if engine == "pallas":
+        engine = "gemm"  # the fused kernel is argmin-only; same math
+    n_q, n_s = queries.shape[0], syn.shape[0]
+    embed_fn = _jit_cached(embed_fn)
+    q_block = min(q_block, n_q)
+    s_block = min(s_block, n_s)
+
+    def embed_block(x: Array, block: int) -> Array:
+        n_valid = x.shape[0]
+        if n_valid < block:
+            x = pad_rows(x, block)
+        return embed_fn(x)[:n_valid]
+
+    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype))
+    emb_bytes = n_q * probe.shape[1] * probe.dtype.itemsize
+    q_starts = (range(0, n_q, q_block) if emb_bytes > query_cache_bytes
+                else [0])
+    if len(q_starts) == 1:
+        emb_qs = [jnp.concatenate(
+            [embed_block(queries[qs:qs + q_block], q_block)
+             for qs in range(0, n_q, q_block)])]
+    else:
+        emb_qs = None  # featurized lazily per query block below
+
+    out_d, out_i = [], []
+    for bi, qs in enumerate(q_starts):
+        emb_q = (emb_qs[bi] if emb_qs is not None
+                 else embed_block(queries[qs:qs + q_block], q_block))
+        rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
+        run_d = jnp.full((emb_q.shape[0], k), jnp.inf, jnp.float32)
+        run_i = jnp.zeros((emb_q.shape[0], k), jnp.int32)
         for ss in range(0, n_s, s_block):
             blk = syn[ss:ss + s_block]
             n_valid = blk.shape[0]
-            if n_valid < s_block and s_pad:
-                pad_shape = (s_block - n_valid,) + blk.shape[1:]
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros(pad_shape, blk.dtype)], axis=0)
+            if n_valid < s_block:
+                blk = pad_rows(blk, s_block)
             emb_s = embed_fn(blk)
-            if pallas and engine == "gemm":
-                from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
-                d_blk, i_blk = knn_argmin_pallas(emb_q, emb_s[:n_valid])
-                better = d_blk < run_min  # in-order: first index preserved
-                run_min = jnp.where(better, d_blk, run_min)
-                run_idx = jnp.where(better, ss + i_blk, run_idx)
-            else:
-                run_min, run_idx = _fold_block(
-                    run_min, run_idx, emb_q, rq, emb_s, ss,
-                    jnp.asarray(n_valid), engine)
-        out_d.append(run_min)
-        out_i.append(run_idx)
+            run_d, run_i = _fold_block_topk(
+                run_d, run_i, emb_q, rq, emb_s, ss,
+                jnp.asarray(n_valid), k, engine)
+        out_d.append(run_d)
+        out_i.append(run_i)
     return jnp.concatenate(out_d), jnp.concatenate(out_i)
+
+
+def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
+                        k: int = 8, engine: str = "gemm",
+                        q_block: int = 2048, s_block: int = 2048,
+                        query_cache_bytes: int = 6 << 30
+                        ) -> tuple[Array, Array]:
+    """Throughput mode with exact-index re-ranking.
+
+    Pass 1 finds each query's top-``k`` candidates under the cheap
+    embedding (``embed_lo``, e.g. a bf16 LPIPS tower at MXU-native rate);
+    pass 2 re-runs the exact search (``embed_hi``, the reference-parity
+    f32 path) restricted to the UNION of all candidates — so the result
+    indices/distances equal the full f32 search whenever each query's true
+    nearest neighbor lands anywhere in the candidate union (a strictly
+    weaker requirement than being in its own top-k). Distances returned
+    are always the exact f32 values.
+
+    Replaces the precision/parity trade of running ``fbb.py:73-88``'s
+    distance entirely in reduced precision: same throughput, exact
+    indices.
+    """
+    _, top_i = knn_topk_streamed(
+        embed_lo, queries, syn, k=k, engine=engine, q_block=q_block,
+        s_block=s_block, query_cache_bytes=query_cache_bytes)
+    cand = np.unique(np.asarray(top_i).ravel())
+    sub = jnp.take(jnp.asarray(syn), jnp.asarray(cand), axis=0)
+    d, i_sub = knn_argmin_streamed(
+        embed_hi, queries, sub, engine=engine, q_block=q_block,
+        s_block=min(s_block, max(8, len(cand))),
+        query_cache_bytes=query_cache_bytes)
+    return d, jnp.asarray(cand, jnp.int32)[i_sub]
 
 
 def knn_argmin_reference_batched(emb_q: Array, emb_s: Array,

@@ -88,24 +88,41 @@ def _pad_axis(x: Array, axis: int, mult: int, value: float = 0.0) -> Array:
 
 
 @partial(jax.jit, static_argnames=("q_block", "s_block", "k_block",
-                                   "interpret"))
-def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 256,
-                      s_block: int = 512, k_block: int = 512,
-                      interpret: bool = False) -> tuple[Array, Array]:
+                                   "interpret", "vmem_clamp"))
+def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 0,
+                      s_block: int = 0, k_block: int = 0,
+                      interpret: bool = False,
+                      vmem_clamp: bool = True) -> tuple[Array, Array]:
     """1-NN (min distance, first-min index) over embedding rows.
 
     emb_q: (N_q, K), emb_s: (N_s, K) — any float dtype (accumulation f32).
     Returns float32 distances (exactly the reference loss values) and int32
     indices.
+
+    Default tiles (0 = auto) follow the 2026-08-16 v5e sweep
+    (tools/tune_knn.py at 2000x4096, K=512k): bf16 wants a maximal q tile
+    (queries read once per (s,k) sweep) at (q<=2048, s=512, k=256) —
+    136.6M pairs/s vs XLA-gemm's 140.4M; f32 tiles are twice the bytes so
+    (q<=1024, s=1024, k=256) is the best config Mosaic still compiles
+    (96M vs 114M).
     """
     n_q, k_dim = emb_q.shape
     n_s = emb_s.shape[0]
+    wide = jnp.dtype(emb_q.dtype).itemsize >= 4
+    if q_block == 0:
+        q_block = min(1024 if wide else 2048, n_q)
+    if s_block == 0:
+        s_block = 1024 if wide else 512
+    if k_block == 0:
+        k_block = 256
     q_block = min(q_block, max(8, n_q))
     s_block = min(s_block, max(128, n_s))
     k_block = min(k_block, max(128, k_dim))
-    # clamp the f32 accumulator tile to ~4 MB so callers can't blow the
-    # ~16 MB VMEM budget by passing HBM-sized blocks
-    while q_block * s_block * 4 > (4 << 20):
+    # clamp the f32 accumulator tile to ~5 MB so callers can't blow the
+    # ~16 MB VMEM budget by passing HBM-sized blocks (vmem_clamp=False for
+    # explicit tile sweeps, e.g. tools/tune_knn.py); the default
+    # (2048, 512) acc is 4 MB and must survive the clamp
+    while vmem_clamp and q_block * s_block * 4 > (5 << 20):
         if s_block >= q_block and s_block > 128:
             s_block //= 2
         elif q_block > 8:
@@ -158,6 +175,8 @@ def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 256,
             flops=2 * nq_p * ns_p * k_p,
             bytes_accessed=(nq_p * k_p + ns_p * k_p) * q.dtype.itemsize,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(q, s, rq_p, rs_p)
 

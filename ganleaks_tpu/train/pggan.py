@@ -28,7 +28,8 @@ import numpy as np
 
 from ganleaks_tpu.config import PGGANConfig
 from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir, write_synthetic_artifacts
-from ganleaks_tpu.io.data import DeviceDataset, load_train_images
+from ganleaks_tpu.io.data import DeviceDataset, load_train_images, random_hflip
+from ganleaks_tpu.io.images import nearest_resize
 from ganleaks_tpu.models.pggan import Discriminator, Generator, init_progressive
 from ganleaks_tpu.train.gan import GANState
 from ganleaks_tpu.train.sample import sample_to_host
@@ -163,16 +164,18 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
     for steps in range(start_step, max_steps + 1):
         res = 4 * 2 ** steps
         batch_size = cfg.batch_sizes[min(steps, len(cfg.batch_sizes) - 1)]
-        # nearest-neighbor downscale of the 64x64 set to this resolution
-        # (the reference reloads with Resize(NEAREST), train.py:82-92)
-        stride = images.shape[1] // res
-        res_images = images[:, ::stride, ::stride, :] if stride > 1 else images
+        # PIL-NEAREST-exact downscale to this resolution (the reference
+        # reloads with Resize(NEAREST), train.py:82-92)
+        res_images = nearest_resize(images, res)
         ds = DeviceDataset(res_images, seed=cfg.seed + steps)
         alpha = 1e-5
         n_ds = len(ds)
         for epoch in range(cfg.num_epochs):
             for batch in ds.epoch(batch_size):
                 step_key = jax.random.fold_in(step_key, 1)
+                if cfg.hflip:  # RandomHorizontalFlip(p=0.5), train.py:83
+                    batch = random_hflip(
+                        batch, jax.random.fold_in(step_key, 2))
                 state, metrics = pggan_train_step(
                     state, batch, jnp.float32(alpha), step_key, steps,
                     cfg.lambda_gp, cfg.drift,

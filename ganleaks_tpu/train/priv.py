@@ -395,9 +395,12 @@ def train_privpggan(cfg: PGGANConfig, priv_cfg: PrivGANConfig,
     host_rng = np.random.default_rng(cfg.seed)
 
     def at_res(x, steps):
-        res = 4 * 2 ** steps
-        stride = x.shape[-3] // res
-        return x[..., ::stride, ::stride, :] if stride > 1 else x
+        # PIL-NEAREST-exact downscale; the reference's privPGGAN loader
+        # uses transforms.Resize's DEFAULT (bilinear) filter here
+        # (privPGGAN.py:88-91) — recorded in DIVERGENCES.md, we keep the
+        # NEAREST family used by the main PGGAN trainer (train.py:82).
+        from ganleaks_tpu.io.images import nearest_resize
+        return nearest_resize(x, 4 * 2 ** steps)
 
     # pretrain private critic across resolutions (privPGGAN.py:285-308)
     priv = state.priv
@@ -435,6 +438,10 @@ def train_privpggan(cfg: PGGANConfig, priv_cfg: PrivGANConfig,
                 real = jnp.take_along_axis(
                     res_splits, idx[..., None, None, None], axis=1)
                 step_key = jax.random.fold_in(step_key, 1)
+                if cfg.hflip:  # RandomHorizontalFlip(p=0.5), privPGGAN.py:91
+                    from ganleaks_tpu.io.data import random_hflip
+                    real = random_hflip(
+                        real, jax.random.fold_in(step_key, 2))
                 state, metrics = privpggan_train_step(
                     state, real, jnp.float32(alpha), step_key, steps,
                     priv_cfg.privacy_ratio, dp_on, cfg.lambda_gp, cfg.drift)

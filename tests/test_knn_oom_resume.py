@@ -1,0 +1,136 @@
+"""OOM backoff in the streamed kNN must RESUME, not restart.
+
+``knn_argmin_streamed`` halves only the offending dimension's block on a
+RESOURCE_EXHAUSTED failure and continues from where it was: completed
+synthetic blocks are never re-featurized, the running (min, argmin)
+partials survive, and the query-embedding cache is kept. These tests
+inject RESOURCE_EXHAUSTED mid-stream through an eager (jit-bypassed)
+embed mock and assert every row is featurized exactly once per sweep.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ganleaks_tpu.ops.knn as knn_mod
+from ganleaks_tpu.ops.distance import make_embed_fn
+from ganleaks_tpu.ops.knn import knn_argmin_streamed
+
+
+class InjectingEmbed:
+    """Flattening l2 embed that raises RESOURCE_EXHAUSTED on chosen call
+    numbers and logs (first-row-id, n_rows) of every successful call.
+
+    Rows are identity-tagged: row r of the source arrays is constant
+    ``tag + r``, so ``ids[0]`` recovers which block arrived (zero-padded
+    tail rows show up as tag 0 and are ignored via n_valid slicing by the
+    caller)."""
+
+    def __init__(self, fail_on_calls=()):
+        self.calls = 0
+        self.fail_on = set(fail_on_calls)
+        self.log: list[tuple[float, int]] = []
+
+    def __call__(self, x):
+        import jax
+
+        if isinstance(x, jax.core.Tracer):  # the eval_shape width probe
+            flat = x.reshape(x.shape[0], -1)
+            return flat / np.sqrt(flat.shape[1])
+        self.calls += 1
+        if self.calls in self.fail_on:
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected OOM (test)")
+        self.log.append((float(x[0, 0, 0, 0]), int(x.shape[0])))
+        flat = x.reshape(x.shape[0], -1)
+        return flat / np.sqrt(flat.shape[1])
+
+
+def tagged(n: int, tag: float) -> np.ndarray:
+    """(n, 2, 2, 1) array whose row r is constant tag + r."""
+    return (tag + np.arange(1, n + 1, dtype=np.float32)
+            ).reshape(n, 1, 1, 1) * np.ones((1, 2, 2, 1), np.float32)
+
+
+@pytest.fixture
+def eager_knn(monkeypatch):
+    """Bypass the jit cache so the mock executes (and can raise) on every
+    call — trace-once jit semantics would swallow call-counted failures."""
+    monkeypatch.setattr(knn_mod, "_jit_cached", lambda f: f)
+
+
+def clean_result(queries, syn):
+    embed = make_embed_fn("l2")
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=4)
+    return np.asarray(d), np.asarray(i)
+
+
+def coverage(log, tag, total):
+    """Rows actually featurized (by first-row id + count), as a multiset
+    of row indices relative to ``tag``."""
+    rows = []
+    for first, n in log:
+        if not (tag < first <= tag + total):
+            continue
+        start = int(round(first - tag)) - 1
+        rows.extend(range(start, min(start + n, total)))
+    return rows
+
+
+def test_syn_oom_resumes_without_recompute(eager_knn):
+    queries = tagged(4, 1000.0)
+    syn = tagged(32, 0.0)
+    ref_d, ref_i = clean_result(queries, syn)
+
+    # call 1 = query block; calls 2,3 = syn blocks 0-8, 8-16;
+    # call 4 (syn block 16-24) raises -> s_block 8 -> 4, resume at row 16
+    embed = InjectingEmbed(fail_on_calls=(4,))
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=4)
+
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
+
+    syn_rows = coverage(embed.log, 0.0, 32)
+    assert sorted(syn_rows) == list(range(32)), \
+        "every synthetic row featurized exactly once (no recompute)"
+    q_rows = coverage(embed.log, 1000.0, 4)
+    assert sorted(q_rows) == list(range(4)), \
+        "query cache survived the synthetic-stream OOM"
+
+
+def test_query_oom_halves_q_block_keeps_parts(eager_knn):
+    queries = tagged(8, 1000.0)
+    syn = tagged(16, 0.0)
+    ref_d, ref_i = clean_result(queries, syn)
+
+    # call 1 = query rows 0-4; call 2 (query rows 4-8) raises ->
+    # q_block 4 -> 2, resume at query row 4
+    embed = InjectingEmbed(fail_on_calls=(2,))
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=4)
+
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
+    q_rows = coverage(embed.log, 1000.0, 8)
+    assert sorted(q_rows) == list(range(8)), \
+        "completed query blocks kept; only the failed block re-walked"
+
+
+def test_non_oom_errors_propagate(eager_knn):
+    class Boom:
+        def __call__(self, x):
+            raise ValueError("not an oom")
+
+    with pytest.raises(ValueError, match="not an oom"):
+        knn_argmin_streamed(Boom(), jnp.asarray(tagged(4, 0.0)),
+                            jnp.asarray(tagged(8, 100.0)), s_block=4,
+                            q_block=4)
+
+
+def test_oom_at_minimum_block_reraises(eager_knn):
+    embed = InjectingEmbed(fail_on_calls=set(range(1, 50)))
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        knn_argmin_streamed(embed, jnp.asarray(tagged(4, 1000.0)),
+                            jnp.asarray(tagged(8, 0.0)), s_block=8,
+                            q_block=8)

@@ -142,26 +142,9 @@ def test_streamed_cache_and_recompute_paths_agree(rng):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
 
 
-def test_streamed_oom_backoff(rng):
-    """A RESOURCE_EXHAUSTED from the embed path triggers a halved-block
-    retry instead of failing the attack."""
-    from ganleaks_tpu.ops.knn import knn_argmin_streamed
-
-    syn = rng.standard_normal((16, 12)).astype(np.float32)
-    q = rng.standard_normal((8, 12)).astype(np.float32)
-    calls = {"n": 0}
-
-    def flaky_embed(x):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
-        return x
-
-    d, i = knn_argmin_streamed(flaky_embed, jnp.asarray(q),
-                               jnp.asarray(syn), q_block=16, s_block=16)
-    d_ref, i_ref = knn_argmin(jnp.asarray(q), jnp.asarray(syn),
-                              engine="gemm", s_block=8)
-    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+# (the OOM-backoff contract — halve only the offending dimension, resume
+# without recomputing completed blocks — is covered by
+# tests/test_knn_oom_resume.py)
 
 
 def test_knn_permutation_invariance(rng):
