@@ -138,18 +138,157 @@ def _lin(sd: dict, prefix: str) -> dict:
     return d
 
 
+# --- PGGAN (gen.state_dict() / critic.state_dict(), pggan/train.py:201-206) --
+
+def _wsconv(sd: dict, prefix: str) -> dict:
+    """``WSConv2d`` (``pggan/model_torch.py:8-22``): the scaled conv's
+    weight lives at ``.conv.weight`` (OIHW, bias removed) and the raw bias
+    is re-registered on the wrapper as ``.bias``."""
+    return {"conv": {"kernel":
+                     _np(sd[f"{prefix}.conv.weight"]).transpose(2, 3, 1, 0)},
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _convblock(sd: dict, prefix: str) -> dict:
+    return {"conv1": _wsconv(sd, f"{prefix}.conv1"),
+            "conv2": _wsconv(sd, f"{prefix}.conv2")}
+
+
+def _n_rgb(sd: dict) -> int:
+    return len({k.split(".")[1] for k in sd if k.startswith("rgb_layers.")})
+
+
+def convert_pggan_generator(sd: dict) -> dict:
+    """-> variables for ``models.pggan.Generator``. torch layout
+    (``pggan/model_torch.py:49-72``): ``initial`` Sequential holds the
+    ConvTranspose at index 1 (IOHW) and a WSConv at index 3;
+    ``rgb_layers.{i}`` / ``prog_blocks.{i}`` map 1:1 onto our
+    ``rgb{i}`` / ``prog{i}`` module names."""
+    params: dict = {
+        "initial_convt": {
+            "kernel": _np(sd["initial.1.weight"]).transpose(2, 3, 0, 1),
+            "bias": _np(sd["initial.1.bias"])},
+        "initial_conv": _wsconv(sd, "initial.3"),
+    }
+    n = _n_rgb(sd)
+    for i in range(n):
+        params[f"rgb{i}"] = _wsconv(sd, f"rgb_layers.{i}")
+    for i in range(n - 1):
+        params[f"prog{i}"] = _convblock(sd, f"prog_blocks.{i}")
+    return {"params": params}
+
+
+def convert_pggan_discriminator(sd: dict) -> dict:
+    """-> variables for ``models.pggan.Discriminator`` (also the privPGGAN
+    ``PrivateDiscriminator`` — same trunk, wider head). torch layout
+    (``pggan/model_torch.py:91-115``): ``rgb_layers``/``prog_blocks`` are
+    ordered high-res -> low-res, which our module names mirror; the 4x4
+    head is ``final_block.{0,2,4}``."""
+    params: dict = {}
+    n = _n_rgb(sd)
+    for i in range(n):
+        params[f"rgb{i}"] = _wsconv(sd, f"rgb_layers.{i}")
+    for i in range(n - 1):
+        params[f"prog{i}"] = _convblock(sd, f"prog_blocks.{i}")
+    for j, i in ((1, 0), (2, 2), (3, 4)):
+        params[f"final_conv{j}"] = _wsconv(sd, f"final_block.{i}")
+    return {"params": params}
+
+
+# --- VAE-GAN (netG / netE, vaegan/train.py:401-414) --------------------------
+
+def _bn(sd: dict, prefix: str) -> tuple[dict, dict]:
+    return ({"bn": {"scale": _np(sd[f"{prefix}.weight"]),
+                    "bias": _np(sd[f"{prefix}.bias"])}},
+            {"bn": {"mean": _np(sd[f"{prefix}.running_mean"]),
+                    "var": _np(sd[f"{prefix}.running_var"])}})
+
+
+def _sn_deconv(sd: dict, prefix: str) -> tuple[dict, dict]:
+    """``SpectralNorm(ConvTranspose2d)`` (``vaegan/ops.py:23-75``): the raw
+    weight is re-registered as ``weight_bar`` (IOHW) with power-iteration
+    vectors ``weight_u`` (I) / ``weight_v`` (O*kh*kw)."""
+    p = {"kernel": _np(sd[f"{prefix}.module.weight_bar"])
+         .transpose(2, 3, 0, 1),
+         "bias": _np(sd[f"{prefix}.module.bias"])}
+    s = {"u": _np(sd[f"{prefix}.module.weight_u"]),
+         "v": _np(sd[f"{prefix}.module.weight_v"])}
+    return p, s
+
+
+def _self_attention(sd: dict, prefix: str) -> dict:
+    out = {}
+    for conv in ("query_conv", "key_conv", "value_conv"):
+        out[conv] = {"kernel":
+                     _np(sd[f"{prefix}.{conv}.weight"]).transpose(2, 3, 1, 0),
+                     "bias": _np(sd[f"{prefix}.{conv}.bias"])}
+    out["gamma"] = _np(sd[f"{prefix}.gamma"]).reshape(1)
+    return out
+
+
+def convert_vaegan_generator(sd: dict) -> dict:
+    """-> variables for ``models.vaegan.Generator`` (params + batch_stats +
+    the 'spectral' u/v collection). torch layout: ``vaegan/train.py:110-124``."""
+    params: dict = {}
+    stats: dict = {}
+    spectral: dict = {}
+    for i in (1, 2, 3, 4):
+        params[f"deconv{i}"], spectral[f"deconv{i}"] = \
+            _sn_deconv(sd, f"deconv{i}")
+        params[f"deconv{i}_bn"], stats[f"deconv{i}_bn"] = \
+            _bn(sd, f"deconv{i}_bn")
+    params["deconv5"] = {
+        "kernel": _np(sd["deconv5.weight"]).transpose(2, 3, 0, 1),
+        "bias": _np(sd["deconv5.bias"])}
+    params["sa1"] = _self_attention(sd, "sa1")
+    return {"params": params, "batch_stats": stats, "spectral": spectral}
+
+
+def convert_vaegan_encoder(sd: dict) -> dict:
+    """-> variables for ``models.vaegan.Encoder``
+    (``vaegan/train.py:61-106``; ChannelsToLinear subclasses nn.Linear, its
+    input is the NCHW-major flatten our module reproduces)."""
+    params: dict = {}
+    stats: dict = {}
+    for i in (1, 2, 3, 4):
+        params[f"cv{i}"] = {
+            "kernel": _np(sd[f"cv{i}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"cv{i}.bias"])}
+        params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"bn{i}")
+    for fc in ("fc1", "fc2"):
+        params[fc] = {"linear": _lin(sd, fc)}
+    for fc in ("fc1_1", "fc2_1"):
+        params[fc] = _lin(sd, fc)
+    for bn in ("bn6", "bn7"):
+        params[bn], stats[bn] = _bn(sd, bn)
+    return {"params": params, "batch_stats": stats}
+
+
+def _maybe_state_dict(obj):
+    """The reference saves VAE-GAN nets both as state dicts inside the
+    periodic checkpoint (``vaegan/train.py:401-410``) and as whole pickled
+    modules ``netG.pt``/``netE.pt`` (``:412-414``)."""
+    return obj.state_dict() if hasattr(obj, "state_dict") else obj
+
+
 CONVERTERS = {
     ("dcgan", "generator"): convert_dcgan_generator,
     ("dcgan", "discriminator"): convert_dcgan_discriminator,
     ("wgangp", "generator"): convert_dcgan_generator,
     ("wgangp", "critic"): convert_wgangp_critic,
+    ("pggan", "generator"): convert_pggan_generator,
+    ("pggan", "critic"): convert_pggan_discriminator,
+    ("pggan", "discriminator"): convert_pggan_discriminator,
+    ("vaegan", "generator"): convert_vaegan_generator,
+    ("vaegan", "encoder"): convert_vaegan_encoder,
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["dcgan", "wgangp", "medgan"])
+                    choices=["dcgan", "wgangp", "medgan", "pggan",
+                             "vaegan"])
     ap.add_argument("--part", required=True)
     ap.add_argument("--pth", required=True)
     ap.add_argument("--out", required=True)
@@ -159,7 +298,13 @@ def main() -> None:
 
     from ganleaks_tpu.utils.checkpoint import save_params_npz
 
-    sd = torch.load(args.pth, map_location="cpu")
+    # weights_only=False: VAE-GAN's netG.pt/netE.pt are whole pickled
+    # modules (vaegan/train.py:412-414), not plain state dicts
+    try:
+        sd = torch.load(args.pth, map_location="cpu")
+    except Exception:
+        sd = torch.load(args.pth, map_location="cpu", weights_only=False)
+    sd = _maybe_state_dict(sd)
     if args.model == "medgan":
         variables = convert_medgan(**{f"sd_{args.part}": sd})[args.part]
     else:
