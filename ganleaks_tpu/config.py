@@ -141,6 +141,35 @@ class AttackConfig:
 
 
 @dataclass
+class ReconstructionConfig:
+    """Encoder-seeded reconstruction attack (BASELINE config #3: VAE-GAN).
+
+    No reference script exists for this path — the artifact layout mirrors
+    the fbb attack's (``fbb.py:42-67,162-171``) so ``eval_roc`` consumes
+    the run unchanged."""
+
+    exp_name: str = "recon_debug"
+    pos_data_dir: str = "data/miniCelebA/train"
+    neg_data_dir: str = "data/miniCelebA/test"
+    data_num: int = 20000
+    resolution: int = 64
+    reader: str = "center_crop"    # VAE-GAN trains on the center-crop reader
+                                   # (vaegan/utils.py:44-71); 'resize' = fbb's
+    netE: str = ""                 # encoder weights: .msgpack (trainer) / .npz (converter)
+    netG: str = ""                 # generator weights
+    z_dim: int = 100               # must match the checkpoint (train.py:30)
+    d: int = 64
+    distance: str = "l2"           # 'l2' | 'l2-lpips' (same metric family as fbb)
+    lpips_net: str = "vgg"
+    lpips_weights: str | None = None
+    batch: int = 256
+    save_root: str = "recon_attack"
+    save_plots: bool = True
+    wandb: str | None = None
+    seed: int = 0
+
+
+@dataclass
 class EvalConfig:
     """ROC evaluation (reference ``attack_models/eval_roc.py:43-55``)."""
 

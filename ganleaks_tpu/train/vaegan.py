@@ -230,6 +230,11 @@ def train(cfg: VAEGANConfig, images: np.ndarray | None = None,
                         "batch_stats": state.gen.batch_stats,
                         "spectral": dict(state.gen.extra).get("spectral",
                                                               {})})
+            # the reference also pickles the encoder (train.py:414) — the
+            # reconstruction attack consumes it
+            save_state(os.path.join(save_dir, "netE.msgpack"),
+                       {"params": state.enc.params,
+                        "batch_stats": state.enc.batch_stats})
     save_state(ckpt_path, state)
     return state
 
