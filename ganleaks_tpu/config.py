@@ -203,6 +203,9 @@ class TrainCommon:
     PATH: str = "model_save"
     PATH_syn_data: str = "syn_data"
     wandb: str | None = None
+    # per-epoch generated-sample grids (reference: wandb image logging,
+    # train_torch.py:125-127); "auto" -> <PATH>/sample_grids, None disables
+    sample_grid_dir: str | None = "auto"
     # TPU additions
     mesh_shape: tuple[int, ...] = (1,)   # data-parallel mesh over the batch axis
 

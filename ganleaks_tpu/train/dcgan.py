@@ -26,6 +26,13 @@ from ganleaks_tpu.utils.checkpoint import save_state
 from ganleaks_tpu.utils.logging import MetricsLogger, Throughput
 
 
+def resolve_grid_dir(cfg) -> str | None:
+    """Sample-grid sink: "auto" puts grids under the run's model dir."""
+    if cfg.sample_grid_dir == "auto":
+        return os.path.join(cfg.PATH, "sample_grids")
+    return cfg.sample_grid_dir or None
+
+
 def build_state(cfg: DCGANConfig, key: jax.Array) -> GANState:
     gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
     disc = Discriminator(ndf=cfg.ndf)
@@ -42,7 +49,8 @@ def build_state(cfg: DCGANConfig, key: jax.Array) -> GANState:
 def train(cfg: DCGANConfig, images: np.ndarray | None = None,
           logger: MetricsLogger | None = None) -> GANState:
     """Train loop (``train_torch.py:88-127``)."""
-    logger = logger or MetricsLogger()
+    logger = logger or MetricsLogger(wandb_project=cfg.wandb,
+                                     image_dir=resolve_grid_dir(cfg))
     key = jax.random.key(cfg.seed)
     mesh = data_parallel_mesh(cfg.mesh_shape)
 
@@ -53,6 +61,9 @@ def train(cfg: DCGANConfig, images: np.ndarray | None = None,
 
     meter = Throughput()
     step_key = jax.random.fold_in(key, 1)
+    # fixed noise for the per-epoch sample grid (train_torch.py:125-127)
+    grid_z = jax.random.normal(jax.random.fold_in(key, 3), (64, cfg.nz))
+    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf)
     for epoch in range(cfg.num_epochs):
         for batch in ds.epoch(cfg.batch_size):
             step_key = jax.random.fold_in(step_key, 1)
@@ -63,6 +74,10 @@ def train(cfg: DCGANConfig, images: np.ndarray | None = None,
         metrics = jax.device_get(metrics)
         logger.log({"epoch": epoch, **metrics,
                     "images_per_sec": meter.rate()}, step=int(state.step))
+        _log_sample_grid(logger, sample_fn,
+                         {"params": state.gen.params,
+                          "batch_stats": state.gen.batch_stats},
+                         grid_z, int(state.step))
 
     if cfg.save_model:
         dirname = check_folder(timestamp_dir(os.path.join(cfg.PATH, "dcgan")))
@@ -89,6 +104,24 @@ def load_generator_variables(cfg: DCGANConfig, model_dir: str) -> dict:
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted(fn):
+    return jax.jit(fn)
+
+
+def _log_sample_grid(logger: MetricsLogger, sample_fn, variables,
+                     z: jax.Array, step: int) -> None:
+    """Per-epoch generated-sample grid (observability parity with the
+    reference's wandb image logging, ``train_torch.py:125-127``). No-op
+    unless the logger has an image sink configured."""
+    if logger.image_dir is None and logger._wandb is None:
+        return
+    img = _jitted(sample_fn)(variables, z)
+    logger.log_image_grid(
+        "samples", np.clip((np.asarray(img) + 1.0) / 2.0, 0.0, 1.0),
+        step=step)
 
 
 @functools.lru_cache(maxsize=16)

@@ -31,6 +31,7 @@ from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir, write_synthet
 from ganleaks_tpu.io.data import DeviceDataset, load_train_images, random_hflip
 from ganleaks_tpu.io.images import nearest_resize
 from ganleaks_tpu.models.pggan import Discriminator, Generator, init_progressive
+from ganleaks_tpu.train.dcgan import _log_sample_grid, resolve_grid_dir
 from ganleaks_tpu.train.gan import GANState
 from ganleaks_tpu.train.sample import sample_to_host
 from ganleaks_tpu.train.state import ModelState, adam_torch
@@ -149,7 +150,8 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
     the first half of the epochs."""
     from math import log2
 
-    logger = logger or MetricsLogger()
+    logger = logger or MetricsLogger(wandb_project=cfg.wandb,
+                                     image_dir=resolve_grid_dir(cfg))
     key = jax.random.key(cfg.seed)
     max_steps = int(log2(cfg.image_size / 4))
     state = build_state(cfg, key, max_steps)
@@ -185,6 +187,12 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
                     alpha + batch.shape[0] / (cfg.num_epochs * 0.5 * n_ds),
                     1.0)
                 meter.add(batch.shape[0])
+            # per-epoch sample grid (pggan/train.py:190-197)
+            _log_sample_grid(
+                logger, _sample_fn(cfg.nz, cfg.in_channels, cfg.nc, steps),
+                {"params": state.gen.params},
+                jax.random.normal(jax.random.fold_in(key, 3), (64, cfg.nz)),
+                int(state.step))
         logger.log({"resolution": res, **jax.device_get(metrics),
                     "alpha": alpha, "images_per_sec": meter.rate()},
                    step=int(state.step))
