@@ -28,6 +28,9 @@ import numpy as np
 # torch-CPU reference (single core, LPIPS VGG16 + L2 over 64-image batches,
 # measured on this host 2026-08-16 — see BASELINE.md "measured baseline")
 REFERENCE_CPU_PAIRS_PER_SEC = 15.0
+# torch-CPU DCGAN sampling rate (single thread, quiet host, 512 images;
+# tools/bench_reference_gen.py mirroring train_torch.py:138-174)
+REFERENCE_CPU_GEN_IMAGES_PER_SEC = 240.0
 
 
 def _sync(*arrays) -> None:
@@ -147,9 +150,8 @@ def main() -> None:
             "metric": f"DCGAN 64x64 generation images/sec/chip ({platform})",
             "value": round(out["images_per_sec"], 1),
             "unit": "images/sec",
-            # no published reference throughput exists (BASELINE.json
-            # published: {}); report vs our measured CPU-jax rate baseline 1.0
-            "vs_baseline": 1.0,
+            "vs_baseline": round(out["images_per_sec"]
+                                 / REFERENCE_CPU_GEN_IMAGES_PER_SEC, 1),
         }))
         return
 
