@@ -29,9 +29,12 @@ def convert_state_dict(sd: dict) -> dict:
         node[path[-1]] = leaf
 
     for key, val in sd.items():
+        parts = key.split(".")
+        # fc / AuxLogits are not part of the pool_3 tower
+        if parts[0] in ("fc", "AuxLogits"):
+            continue
         v = val.detach().cpu().numpy() if hasattr(val, "detach") \
             else np.asarray(val)
-        parts = key.split(".")
         if parts[-2] == "conv" and parts[-1] == "weight":
             put(params, parts[:-2] + ["conv"], v.transpose(2, 3, 1, 0))
         elif parts[-2] == "bn":
@@ -44,7 +47,6 @@ def convert_state_dict(sd: dict) -> dict:
                 put(stats, parts[:-2] + ["bn", "mean"], v)
             elif name == "running_var":
                 put(stats, parts[:-2] + ["bn", "var"], v)
-        # fc / AuxLogits are not part of the pool_3 tower: skipped
     return {"params": params, "batch_stats": stats}
 
 
