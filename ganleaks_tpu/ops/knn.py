@@ -118,17 +118,28 @@ def knn_argmin(emb_q: Array, emb_s: Array, *, engine: str = "gemm",
     return jnp.concatenate(outs_d), jnp.concatenate(outs_i)
 
 
-@partial(jax.jit, static_argnames=("engine",))
+@partial(jax.jit, static_argnames=("engine", "precision"))
 def _fold_block(run_min: Array, run_idx: Array, emb_q: Array, rq: Array,
                 emb_s_blk: Array, col0: int, n_valid: Array,
-                engine: str) -> tuple[Array, Array]:
+                engine: str, precision: str | None = None,
+                rs: Array | None = None) -> tuple[Array, Array]:
     """Fold one (q_block x s_block) distance tile into the running
-    (min, argmin); first-index tie-break preserved (strict <)."""
+    (min, argmin); first-index tie-break preserved (strict <).
+
+    ``precision``: forwarded to the gemm's ``dot_general``. TPU default
+    precision computes f32 cross terms with bf16 multiplies;
+    ``"highest"`` forces true-f32 products (bf16x6 passes) — used by the
+    two-pass re-rank so returned distances are exact f32.
+
+    ``rs``: optional precomputed f32 squared row norms of the block —
+    passed by the streamed path when the block has been demoted to a bf16
+    stream so norms keep full precision."""
     if engine == "gemm":
-        rs = jnp.sum(jnp.square(emb_s_blk.astype(jnp.float32)), axis=1)
+        if rs is None:
+            rs = jnp.sum(jnp.square(emb_s_blk.astype(jnp.float32)), axis=1)
         cross = jax.lax.dot_general(
             emb_q, emb_s_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
         d = rq[:, None] + rs[None, :] - 2.0 * cross
     else:
         diff = emb_q[:, None, :].astype(jnp.float32) \
@@ -142,6 +153,18 @@ def _fold_block(run_min: Array, run_idx: Array, emb_q: Array, rq: Array,
     run_min = jnp.where(better, blk_min, run_min)
     run_idx = jnp.where(better, col0 + blk_arg.astype(jnp.int32), run_idx)
     return run_min, run_idx
+
+
+def _stream_demote(dtype, precision: str | None) -> bool:
+    """Store/stream f32 embeddings as bf16 on TPU (half the HBM bytes and
+    half the query-cache footprint): XLA's DEFAULT matmul precision
+    demotes f32 operands to bf16 in-register anyway, so the gemm results
+    are the same math — norms (rq/rs) stay f32, computed pre-demotion.
+    Disabled when the caller asked for true-f32 products
+    (``precision='highest'``, e.g. the two-pass re-rank) or off-TPU."""
+    return (precision is None
+            and jnp.dtype(dtype).itemsize >= 4
+            and jax.default_backend() == "tpu")
 
 
 _JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -161,7 +184,8 @@ def _is_oom(e: Exception) -> bool:
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
-                        query_cache_bytes: int = 6 << 30
+                        query_cache_bytes: int = 6 << 30,
+                        precision: str | None = None
                         ) -> tuple[Array, Array]:
     """1-NN where embeddings are produced on the fly, block by block —
     for feature spaces too large to materialize (LPIPS at 64x64 is ~512k
@@ -185,6 +209,8 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     """
     if engine == "pallas":
         engine, pallas = "gemm", True
+    if precision == "highest":
+        pallas = False  # fused kernel streams bf16; the fold honors precision
     n_q, n_s = queries.shape[0], syn.shape[0]
     # jit once PER FUNCTION OBJECT: block shapes are uniform, eager
     # dispatch of a VGG tower is pathologically slow on remote-compile
@@ -204,14 +230,22 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
             blk = pad_rows(blk, block)
         return embed_fn(blk)[:n_valid]
 
-    def featurize_queries(qs0: int, parts: list[Array]) -> list[Array]:
+    def featurize_queries(qs0: int, parts: list[Array],
+                          rq_parts: list[Array],
+                          demote: bool) -> tuple[list[Array], list[Array]]:
         """Resumable query featurize: ``parts`` holds completed blocks;
-        on OOM q_block halves and the walk continues from where it was."""
+        on OOM q_block halves and the walk continues from where it was.
+        With ``demote`` each block is stored bf16 (its f32 squared norms
+        kept in ``rq_parts``) so the resident cache is half the bytes."""
         nonlocal q_block
         qs = qs0
         while qs < n_q:
             try:
                 part = embed_rows(queries, qs, q_block)
+                rq_part = jnp.sum(jnp.square(part.astype(jnp.float32)),
+                                  axis=1)
+                if demote:
+                    part = part.astype(jnp.bfloat16)
             except Exception as e:
                 if not _is_oom(e) or q_block <= 1:
                     raise
@@ -220,13 +254,17 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                       f"(resuming at row {qs})")
                 continue
             parts.append(part)
+            rq_parts.append(rq_part)
             qs += part.shape[0]
-        return parts
+        return parts, rq_parts
 
-    def sweep_syn(emb_q: Array, rq: Array) -> tuple[Array, Array]:
+    def sweep_syn(emb_q: Array, rq: Array,
+                  demote: bool) -> tuple[Array, Array]:
         """Resumable synthetic sweep: on OOM s_block halves and the sweep
         resumes from the current position with the running (min, argmin)
-        partials intact."""
+        partials intact. With ``demote`` each synthetic block streams as
+        bf16 (f32 norms computed pre-demotion) — same gemm math as XLA's
+        default in-register demotion, half the bytes."""
         nonlocal s_block
         run_min = jnp.full((emb_q.shape[0],), jnp.inf, jnp.float32)
         run_idx = jnp.zeros((emb_q.shape[0],), jnp.int32)
@@ -235,19 +273,25 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
             try:
                 emb_s = embed_rows(syn, ss, s_block)
                 n_valid = emb_s.shape[0]
-                if n_valid < s_block:
-                    emb_s = pad_rows(emb_s, s_block)
+                rs_blk = jnp.sum(jnp.square(emb_s.astype(jnp.float32)),
+                                 axis=1)
+                if demote:
+                    emb_s = emb_s.astype(jnp.bfloat16)
                 if pallas and engine == "gemm":
                     from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
-                    d_blk, i_blk = knn_argmin_pallas(emb_q,
-                                                     emb_s[:n_valid])
+                    d_blk, i_blk = knn_argmin_pallas(
+                        emb_q, emb_s, rq=rq, rs=rs_blk,
+                        interpret=jax.default_backend() != "tpu")
                     better = d_blk < run_min  # in-order: first index kept
                     new_min = jnp.where(better, d_blk, run_min)
                     new_idx = jnp.where(better, ss + i_blk, run_idx)
                 else:
+                    if n_valid < s_block:
+                        emb_s = pad_rows(emb_s, s_block)
+                        rs_blk = pad_rows(rs_blk, s_block)
                     new_min, new_idx = _fold_block(
                         run_min, run_idx, emb_q, rq, emb_s, ss,
-                        jnp.asarray(n_valid), engine)
+                        jnp.asarray(n_valid), engine, precision, rs_blk)
             except Exception as e:
                 if not _is_oom(e) or s_block <= 1:
                     raise
@@ -262,18 +306,24 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     # probe the embedding width to decide whether queries fit resident
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
-    emb_bytes = n_q * probe.shape[1] * probe.dtype.itemsize
+    demote = _stream_demote(probe.dtype, precision)
+    cache_itemsize = 2 if demote else probe.dtype.itemsize
+    emb_bytes = n_q * probe.shape[1] * cache_itemsize
     if emb_bytes <= query_cache_bytes:
-        parts = featurize_queries(0, [])
+        parts, rq_parts = featurize_queries(0, [], [], demote)
         emb_q_full = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        rq = jnp.sum(jnp.square(emb_q_full.astype(jnp.float32)), axis=1)
-        return sweep_syn(emb_q_full, rq)
+        rq = (rq_parts[0] if len(rq_parts) == 1
+              else jnp.concatenate(rq_parts))
+        return sweep_syn(emb_q_full, rq, demote)
 
     out_d, out_i = [], []
     qs = 0
     while qs < n_q:
         try:
             emb_q = embed_rows(queries, qs, q_block)
+            rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
+            if demote:
+                emb_q = emb_q.astype(jnp.bfloat16)
         except Exception as e:
             if not _is_oom(e) or q_block <= 1:
                 raise
@@ -281,8 +331,7 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
             print(f"[knn] query featurize OOM; q_block={q_block} "
                   f"(resuming at row {qs})")
             continue
-        rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
-        d, i = sweep_syn(emb_q, rq)
+        d, i = sweep_syn(emb_q, rq, demote)
         out_d.append(d)
         out_i.append(i)
         qs += emb_q.shape[0]
@@ -292,7 +341,8 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
 @partial(jax.jit, static_argnames=("k", "engine"))
 def _fold_block_topk(run_d: Array, run_i: Array, emb_q: Array, rq: Array,
                      emb_s_blk: Array, col0: int, n_valid: Array,
-                     k: int, engine: str) -> tuple[Array, Array]:
+                     k: int, engine: str,
+                     rs: Array | None = None) -> tuple[Array, Array]:
     """Fold one distance tile into a running per-query top-k.
 
     ``run_d``/``run_i`` are (N_q, k), distance-ascending with FIRST-index
@@ -303,7 +353,8 @@ def _fold_block_topk(run_d: Array, run_i: Array, emb_q: Array, rq: Array,
     the top-1 is read off.
     """
     if engine == "gemm":
-        rs = jnp.sum(jnp.square(emb_s_blk.astype(jnp.float32)), axis=1)
+        if rs is None:
+            rs = jnp.sum(jnp.square(emb_s_blk.astype(jnp.float32)), axis=1)
         cross = jax.lax.dot_general(
             emb_q, emb_s_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -322,6 +373,18 @@ def _fold_block_topk(run_d: Array, run_i: Array, emb_q: Array, rq: Array,
     return -neg_top, jnp.take_along_axis(cat_i, pos, axis=1)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _merge_topk(run_d: Array, run_i: Array, blk_d: Array, blk_i: Array,
+                k: int) -> tuple[Array, Array]:
+    """Merge a block's top-k into the running top-k. ``lax.top_k`` is
+    stable and running entries (earlier global indices) are concatenated
+    first, so the first-index tie-break is preserved."""
+    cat_d = jnp.concatenate([run_d, blk_d], axis=1)
+    cat_i = jnp.concatenate([run_i, blk_i], axis=1)
+    neg, pos = jax.lax.top_k(-cat_d, k)
+    return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
 def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                       engine: str = "gemm", q_block: int = 2048,
                       s_block: int = 2048,
@@ -329,9 +392,16 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                       ) -> tuple[Array, Array]:
     """Per-query k smallest distances + their indices, streamed like
     :func:`knn_argmin_streamed` (embeddings produced block by block,
-    queries featurized once when they fit in ``query_cache_bytes``)."""
-    if engine == "pallas":
-        engine = "gemm"  # the fused kernel is argmin-only; same math
+    queries featurized once when they fit in ``query_cache_bytes``;
+    f32 embeddings stream as bf16 with f32 norms on TPU).
+
+    ``engine='pallas'`` runs each block through the fused
+    ``knn_topk_pallas`` kernel (top-k state in VMEM, k min-extractions
+    per s tile) instead of the XLA ``lax.top_k`` fold (a sort per tile).
+    """
+    use_pallas = engine == "pallas"
+    if use_pallas:
+        engine = "gemm"  # same distance math
     n_q, n_s = queries.shape[0], syn.shape[0]
     embed_fn = _jit_cached(embed_fn)
     q_block = min(q_block, n_q)
@@ -345,32 +415,49 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
 
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
-    emb_bytes = n_q * probe.shape[1] * probe.dtype.itemsize
+    demote = _stream_demote(probe.dtype, None)
+    cache_itemsize = 2 if demote else probe.dtype.itemsize
+    emb_bytes = n_q * probe.shape[1] * cache_itemsize
     q_starts = (range(0, n_q, q_block) if emb_bytes > query_cache_bytes
                 else [0])
-    if len(q_starts) == 1:
-        emb_qs = [jnp.concatenate(
-            [embed_block(queries[qs:qs + q_block], q_block)
-             for qs in range(0, n_q, q_block)])]
-    else:
-        emb_qs = None  # featurized lazily per query block below
+
+    def featurize_q(x: Array) -> tuple[Array, Array]:
+        emb = (jnp.concatenate(
+            [embed_block(x[qs:qs + q_block], q_block)
+             for qs in range(0, x.shape[0], q_block)])
+            if x.shape[0] > q_block else embed_block(x, q_block))
+        rq = jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=1)
+        if demote:
+            emb = emb.astype(jnp.bfloat16)
+        return emb, rq
 
     out_d, out_i = [], []
-    for bi, qs in enumerate(q_starts):
-        emb_q = (emb_qs[bi] if emb_qs is not None
-                 else embed_block(queries[qs:qs + q_block], q_block))
-        rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
+    for qs in q_starts:
+        emb_q, rq = featurize_q(
+            queries if len(q_starts) == 1 else queries[qs:qs + q_block])
         run_d = jnp.full((emb_q.shape[0], k), jnp.inf, jnp.float32)
         run_i = jnp.zeros((emb_q.shape[0], k), jnp.int32)
         for ss in range(0, n_s, s_block):
-            blk = syn[ss:ss + s_block]
-            n_valid = blk.shape[0]
-            if n_valid < s_block:
-                blk = pad_rows(blk, s_block)
-            emb_s = embed_fn(blk)
-            run_d, run_i = _fold_block_topk(
-                run_d, run_i, emb_q, rq, emb_s, ss,
-                jnp.asarray(n_valid), k, engine)
+            emb_s = embed_block(syn[ss:ss + s_block], s_block)
+            n_valid = emb_s.shape[0]
+            rs_blk = jnp.sum(jnp.square(emb_s.astype(jnp.float32)),
+                             axis=1)
+            if demote:
+                emb_s = emb_s.astype(jnp.bfloat16)
+            if use_pallas:
+                from ganleaks_tpu.ops.knn_pallas import knn_topk_pallas
+                blk_d, blk_i = knn_topk_pallas(
+                    emb_q, emb_s, k=k, rq=rq, rs=rs_blk,
+                    interpret=jax.default_backend() != "tpu")
+                run_d, run_i = _merge_topk(run_d, run_i, blk_d,
+                                           ss + blk_i, k)
+            else:
+                if n_valid < s_block:
+                    emb_s = pad_rows(emb_s, s_block)
+                    rs_blk = pad_rows(rs_blk, s_block)
+                run_d, run_i = _fold_block_topk(
+                    run_d, run_i, emb_q, rq, emb_s, ss,
+                    jnp.asarray(n_valid), k, engine, rs_blk)
         out_d.append(run_d)
         out_i.append(run_i)
     return jnp.concatenate(out_d), jnp.concatenate(out_i)
@@ -390,7 +477,10 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
     indices/distances equal the full f32 search whenever each query's true
     nearest neighbor lands anywhere in the candidate union (a strictly
     weaker requirement than being in its own top-k). Distances returned
-    are always the exact f32 values.
+    are always the exact f32 values: the re-rank gemm runs at
+    ``precision='highest'`` (on TPU the DEFAULT matmul precision computes
+    f32 cross terms with bf16 multiplies — not exact; the candidate set is
+    tiny, so the 3.3x-slower true-f32 path costs nothing here).
 
     Replaces the precision/parity trade of running ``fbb.py:73-88``'s
     distance entirely in reduced precision: same throughput, exact
@@ -401,10 +491,13 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
         s_block=s_block, query_cache_bytes=query_cache_bytes)
     cand = np.unique(np.asarray(top_i).ravel())
     sub = jnp.take(jnp.asarray(syn), jnp.asarray(cand), axis=0)
+    # re-rank always through the XLA gemm at precision='highest' (the
+    # pallas kernel's whole point is bf16 streams — wrong tool here)
     d, i_sub = knn_argmin_streamed(
-        embed_hi, queries, sub, engine=engine, q_block=q_block,
+        embed_hi, queries, sub, engine="gemm" if engine != "exact"
+        else engine, q_block=q_block,
         s_block=min(s_block, max(8, len(cand))),
-        query_cache_bytes=query_cache_bytes)
+        query_cache_bytes=query_cache_bytes, precision="highest")
     return d, jnp.asarray(cand, jnp.int32)[i_sub]
 
 

@@ -85,21 +85,49 @@ def main() -> None:
                   f"{pairs/dt/1e6:8.1f}M pairs/s  ({dt*1e3:.1f} ms)")
 
         # pallas tile sweep — large q/s tiles cut HBM re-streaming:
-        # traffic ~= ns_tiles*Q_bytes + nq_tiles*S_bytes
-        for (qb, sb, kb) in ((512, 1024, 512), (1024, 512, 512),
-                             (512, 1024, 1024), (1024, 1024, 512),
-                             (1024, 1024, 256), (2048, 512, 512),
-                             (2048, 512, 256), (2048, 1024, 256),
-                             (1024, 512, 1024), (2048, 1024, 512)):
-            vmem = (qb * sb * 4                      # acc
-                    + 2 * (qb + sb) * kb * dtype.dtype.itemsize)
-            if vmem > 14 << 20:
+        # traffic ~= ns_tiles*Q_bytes + nq_tiles*S_bytes. On TPU f32
+        # operands are demoted to bf16 streams inside the kernel
+        # (ops/knn_pallas._should_demote), so tile bytes use itemsize 2;
+        # the kernel raises the scoped-vmem limit to 96 MB, so the f32
+        # accumulator can be tens of MB.
+        from ganleaks_tpu.ops.knn_pallas import _should_demote, _vmem_estimate
+        stream_dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else dtype)
+        # mirror the streamed attack path: f32 embeddings are held as bf16
+        # STREAMS with separate f32 norms (knn_argmin_streamed does this
+        # hoisting), so the kernel never holds f32+bf16 copies at once
+        if _should_demote(dtype):
+            norm = jax.jit(lambda x: jnp.sum(
+                jnp.square(x.astype(jnp.float32)), axis=1))
+            cast = jax.jit(lambda x: x.astype(jnp.bfloat16))
+            rq_a, rs_a = norm(q), norm(s)
+            # demote sequentially, freeing each f32 original before the
+            # next cast — both copies at once would exceed HBM at 512k dims
+            qb_ = cast(q)
+            jax.block_until_ready(qb_)
+            del q
+            q = qb_
+            sb_ = cast(s)
+            jax.block_until_ready(sb_)
+            del s
+            s = sb_
+            jax.block_until_ready((rq_a, rs_a))
+        else:
+            rq_a = rs_a = None
+        for (qb, sb, kb) in ((2048, 512, 256), (2048, 512, 512),
+                             (2048, 1024, 512), (2048, 2048, 512),
+                             (2048, 2048, 1024), (2048, 4096, 256),
+                             (2048, 4096, 512), (2048, 8192, 256),
+                             (2048, 8192, 512), (4096, 2048, 512),
+                             (1024, 2048, 512), (2048, 2048, 256)):
+            if _vmem_estimate(qb, sb, kb, stream_dt) > 88 << 20:
                 continue
             try:
                 dt = bench_fn(
                     lambda q=q, s=s, qb=qb, sb=sb, kb=kb:
                     knn_argmin_pallas(q, s, q_block=qb, s_block=sb,
-                                      k_block=kb, vmem_clamp=False),
+                                      k_block=kb, vmem_clamp=False,
+                                      rq=rq_a, rs=rs_a),
                     reps=args.reps)
             except Exception as e:
                 print(f"pallas {dtype.__name__:9s} ({qb},{sb},{kb}) "
