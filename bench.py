@@ -130,13 +130,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--metric", default="knn", choices=["knn", "gen"])
-    ap.add_argument("--engine", default="gemm",
+    # defaults = the fastest measured mode on v5e (docs/PERF.md):
+    # bf16 LPIPS tower + pallas fused argmin kernel, 30.3M pairs/s
+    ap.add_argument("--engine", default="pallas",
                     choices=["gemm", "pallas", "exact"])
     ap.add_argument("--n_q", type=int, default=None)
     ap.add_argument("--n_syn", type=int, default=None)
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--compute_dtype", default=None,
-                    help="'bfloat16' runs the LPIPS tower at MXU bf16 rate")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="embedding storage dtype ('float32' for the "
+                         "reference-parity tower)")
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    help="'bfloat16' runs the LPIPS tower at MXU bf16 "
+                         "rate; 'float32' for parity (pass with "
+                         "--dtype float32)")
     ap.add_argument("--two_pass", action="store_true",
                     help="bf16 candidate pass + exact f32 re-rank "
                          "(indices identical to the f32 path)")

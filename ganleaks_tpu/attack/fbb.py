@@ -77,7 +77,13 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                   neg: np.ndarray, mesh=None,
                   logger: MetricsLogger | None = None) -> dict:
     """Run the attack on in-memory NHWC [-1,1] arrays. Returns losses and
-    true NN indices for both query sets."""
+    true NN indices for both query sets.
+
+    Both query sets go through ONE synthetic sweep (concatenated on the
+    query axis, split after): per-query results are independent, and the
+    expensive part — featurizing the whole generated set — would
+    otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
+    """
     logger = logger or MetricsLogger(echo=False)
     embed = build_embed_fn(cfg)
 
@@ -98,6 +104,18 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                             engine=cfg.engine,
                             q_block=cfg.query_block,
                             s_block=cfg.syn_block)
+        elif cfg.two_pass:
+            # exact-index throughput mode: bf16 tower candidates + f32
+            # re-rank at precision='highest' (ops/knn.knn_argmin_two_pass)
+            from ganleaks_tpu.ops.knn import knn_argmin_two_pass
+            lo_cfg = replace(cfg, dtype="bfloat16",
+                             lpips_compute_dtype="bfloat16")
+            hi_cfg = replace(cfg, dtype="float32",
+                             lpips_compute_dtype=None)
+            d, i = knn_argmin_two_pass(
+                build_embed_fn(lo_cfg), build_embed_fn(hi_cfg), q_j,
+                syn_j, k=cfg.two_pass_k, engine=cfg.engine,
+                q_block=cfg.query_block, s_block=cfg.syn_block)
         else:
             d, i = knn_argmin_streamed(embed, q_j, syn_j,
                                        engine=cfg.engine,
@@ -107,8 +125,9 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
         meter.add(len(queries) * len(syn))
         return np.asarray(d, np.float64), np.asarray(i)
 
-    pos_loss, pos_nn = search(pos)
-    neg_loss, neg_nn = search(neg)
+    loss, nn = search(np.concatenate([pos, neg], axis=0))
+    pos_loss, neg_loss = loss[:len(pos)], loss[len(pos):]
+    pos_nn, neg_nn = nn[:len(pos)], nn[len(pos):]
     logger.log({"query_pairs_per_sec": meter.rate(),
                 "n_syn": len(syn), "n_pos": len(pos), "n_neg": len(neg)})
     return {"pos_loss": pos_loss, "pos_nn_idx": pos_nn,

@@ -124,11 +124,17 @@ class AttackConfig:
     hyperparameter_search: bool = False
     params: str | None = None
     save_root: str = "fbb_attack"
-    engine: str = "gemm"           # 'gemm' (fast, MXU) | 'exact' (reference math)
+    engine: str = "gemm"           # 'gemm' (MXU fold) | 'pallas' (fused
+                                   # VMEM-argmin kernel, fastest) |
+                                   # 'exact' (reference math, elementwise)
     dtype: str = "float32"         # embedding dtype for the gemm engine
     lpips_compute_dtype: str | None = None  # 'bfloat16' runs the VGG tower
                                             # at MXU bf16 rate (throughput
                                             # mode; parity runs keep f32)
+    two_pass: bool = False         # bf16 candidate pass + exact f32
+                                   # re-rank (indices/distances == the
+                                   # full f32 search; docs/PERF.md)
+    two_pass_k: int = 4            # candidates per query for pass 1
     query_block: int = 2048        # query tile streamed on device
     syn_block: int = 8192          # generated-set tile streamed on device
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE

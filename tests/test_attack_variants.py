@@ -67,3 +67,29 @@ def test_trace_stage_meters():
         jnp.zeros((8, 8)).block_until_ready()
     assert meters["featurize_seconds"] > 0
     assert meters["featurize_items_per_sec"] > 0
+
+
+def test_attack_modes_agree(rng):
+    """attack_arrays must return identical NN indices across engines and
+    the two-pass exact mode (CPU: everything is true f32, so equality is
+    exact; the single-sweep pos+neg concat must not change results)."""
+    from ganleaks_tpu.attack.fbb import attack_arrays
+    from ganleaks_tpu.config import AttackConfig
+
+    syn = rng.uniform(-1, 1, (60, 8, 8, 3)).astype(np.float32)
+    pos = syn[:10] + rng.normal(0, 0.05, (10, 8, 8, 3)).astype(np.float32)
+    neg = rng.uniform(-1, 1, (10, 8, 8, 3)).astype(np.float32)
+
+    base = AttackConfig(distance="l2", syn_block=16, query_block=8,
+                        save_plots=False)
+    ref = attack_arrays(base, syn, pos, neg)
+    for cfg in (base.__class__(**{**base.__dict__, "engine": "pallas"}),
+                base.__class__(**{**base.__dict__, "two_pass": True}),
+                base.__class__(**{**base.__dict__, "engine": "exact"})):
+        out = attack_arrays(cfg, syn, pos, neg)
+        np.testing.assert_array_equal(out["pos_nn_idx"],
+                                      ref["pos_nn_idx"])
+        np.testing.assert_array_equal(out["neg_nn_idx"],
+                                      ref["neg_nn_idx"])
+        np.testing.assert_allclose(out["pos_loss"], ref["pos_loss"],
+                                   rtol=1e-5, atol=1e-6)
