@@ -51,10 +51,15 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
     from ganleaks_tpu.ops.knn import knn_argmin_streamed, knn_argmin_two_pass
     from ganleaks_tpu.ops.lpips import default_lpips_params, lpips_embed_fn
 
-    # generate on device: the tunneled host->TPU link is ~13 MB/s
+    # generate on device: the tunneled host->TPU link is ~13 MB/s. In
+    # bf16 embedding mode the tower's first op casts images to bf16
+    # anyway, so storing them bf16 is numerically a no-op and halves the
+    # resident image HBM (100k 64x64 images: 4.9 GB -> 2.5 GB)
+    img_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.bfloat16
+                 else jnp.float32)
     make = jax.jit(lambda key, n: jax.random.uniform(
-        key, (n, resolution, resolution, 3), jnp.float32, -1, 1),
-        static_argnums=(1,))
+        key, (n, resolution, resolution, 3), jnp.float32, -1, 1
+        ).astype(img_dtype), static_argnums=(1,))
     syn = make(jax.random.key(0), n_syn)
     queries = make(jax.random.key(1), n_q)
     _sync(syn, queries)
@@ -164,7 +169,9 @@ def main() -> None:
     if args.quick:
         n_q, n_syn, q_block, s_block = 64, 512, 64, 256
     else:
-        n_q, n_syn, q_block, s_block = 2000, 20000, 1000, 1000
+        # blocks aligned to the pallas kernel's (2048, 2048) tiles so the
+        # kernel's row padding is a no-op (no block copies)
+        n_q, n_syn, q_block, s_block = 2000, 20000, 2048, 2048
     n_q = args.n_q or n_q
     n_syn = args.n_syn or n_syn
 

@@ -177,14 +177,69 @@ def _jit_cached(fn):
         return jax.jit(fn)
 
 
+_FUSED_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _fused_embed_norms(embed_fn, cdtype):
+    """jit-cached ``blk -> (embed(blk).astype(cdtype), f32 row norms)``.
+
+    Fusing the tower, the norm reduction, and the cache-dtype cast into
+    ONE compiled call is a memory fix, not a speed nicety: dispatched
+    eagerly, ``part.astype(f32)`` + ``square`` each materialize a full
+    HBM copy of the block (at the 100k x 20k north-star config a 2048-row
+    LPIPS block is ~4 GB in f32 — two such transients alongside the
+    resident query cache is what OOMed a 16 GB chip). Under jit the
+    upcast/square live in registers and XLA frees tower activations
+    before the outputs land."""
+    try:
+        per = _FUSED_CACHE.get(embed_fn)
+        if per is None:
+            per = {}
+            _FUSED_CACHE[embed_fn] = per
+    except TypeError:  # unweakrefable callable: no caching
+        per = {}
+    key = jnp.dtype(cdtype).name
+    if key not in per:
+        def emb_norms(blk):
+            e = embed_fn(blk)
+            r = jnp.sum(jnp.square(jnp.asarray(e).astype(jnp.float32)),
+                        axis=1)
+            return jnp.asarray(e).astype(cdtype), r
+        # through _jit_cached so tests can force eager execution by
+        # monkeypatching it (fault-injection mocks must run per call)
+        per[key] = _jit_cached(emb_norms)
+    return per[key]
+
+
+def _block_norms(emb_norms, x: Array, start: int, block: int
+                 ) -> tuple[Array, Array, int]:
+    """Fused featurize+norms of ``x[start:start+block]``, zero-padded to
+    ``block`` so blocks of one size share ONE compiled tower shape
+    (ragged tails would each compile the whole tower — ~40s apiece on
+    remote-compile backends). Returns padded outputs + valid count."""
+    blk = x[start:start + block]
+    n_valid = blk.shape[0]
+    if n_valid < block:
+        blk = pad_rows(blk, block)
+    e, r = emb_norms(blk)
+    return e, r, n_valid
+
+
 def _is_oom(e: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in str(e)  # jaxlib types vary per backend
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _update_rows(buf: Array, part: Array, offset) -> Array:
+    """In-place (donated) row-range write into a preallocated cache."""
+    return jax.lax.dynamic_update_slice(
+        buf, part, (offset,) + (0,) * (buf.ndim - 1))
 
 
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
-                        query_cache_bytes: int = 6 << 30,
+                        query_cache_bytes: int = 4 << 30,
                         precision: str | None = None
                         ) -> tuple[Array, Array]:
     """1-NN where embeddings are produced on the fly, block by block —
@@ -212,40 +267,43 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     if precision == "highest":
         pallas = False  # fused kernel streams bf16; the fold honors precision
     n_q, n_s = queries.shape[0], syn.shape[0]
-    # jit once PER FUNCTION OBJECT: block shapes are uniform, eager
-    # dispatch of a VGG tower is pathologically slow on remote-compile
-    # backends, and re-wrapping in jax.jit per call would drop the
-    # compilation cache between the pos and neg searches
-    embed_fn = _jit_cached(embed_fn)
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
 
-    def embed_rows(x: Array, qs: int, block: int) -> Array:
-        """Featurize ``x[qs:qs+block]``, padded to ``block`` so blocks of
-        one size share ONE compiled shape (ragged tails would each compile
-        the whole tower — ~40s apiece on remote-compile backends)."""
-        blk = x[qs:qs + block]
-        n_valid = blk.shape[0]
-        if n_valid < block:
-            blk = pad_rows(blk, block)
-        return embed_fn(blk)[:n_valid]
+    # probe the embedding width; queries are processed in the largest
+    # cache-fitting chunks so the synthetic set is re-featurized
+    # ceil(N_q / chunk) times — NOT ceil(N_q / q_block) times (at the
+    # 100k x 20k north-star config with a 4 GB cache that is 5 synthetic
+    # sweeps instead of 49)
+    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype))
+    demote = _stream_demote(probe.dtype, precision)
+    cdtype = jnp.bfloat16 if demote else probe.dtype
+    # one fused compiled call per block shape: tower + f32 norms + cast
+    # (see _fused_embed_norms — eager norm dispatch OOMs at scale)
+    block_norms = partial(_block_norms, _fused_embed_norms(embed_fn, cdtype))
 
-    def featurize_queries(qs0: int, parts: list[Array],
-                          rq_parts: list[Array],
-                          demote: bool) -> tuple[list[Array], list[Array]]:
-        """Resumable query featurize: ``parts`` holds completed blocks;
-        on OOM q_block halves and the walk continues from where it was.
-        With ``demote`` each block is stored bf16 (its f32 squared norms
-        kept in ``rq_parts``) so the resident cache is half the bytes."""
+    def featurize_chunk(qs0: int, end: int, width: int
+                        ) -> tuple[Array, Array, int]:
+        """Resumable query featurize of rows [qs0, end) into ONE
+        preallocated cache buffer, padded to a q_block multiple so every
+        tower call keeps the shared block shape (pad rows carry embed(0)
+        garbage; their results are sliced off after the sweep). Writes
+        are in-place donated row updates — a list+concatenate would
+        transiently double the chunk's footprint — and stay SEPARATE
+        from the fused embed call: donation destroys the buffer if its
+        computation dies, while a pure aliased row-write allocates
+        nothing and cannot OOM, so an embed OOM halves q_block and the
+        walk resumes with every completed row intact."""
         nonlocal q_block
+        n_rows = end - qs0
+        padded = n_rows + (-n_rows) % q_block
+        buf = jnp.zeros((padded, width), cdtype)
+        rq_buf = jnp.zeros((padded,), jnp.float32)
         qs = qs0
-        while qs < n_q:
+        while qs < end:
             try:
-                part = embed_rows(queries, qs, q_block)
-                rq_part = jnp.sum(jnp.square(part.astype(jnp.float32)),
-                                  axis=1)
-                if demote:
-                    part = part.astype(jnp.bfloat16)
+                part, rq_part, _ = block_norms(queries, qs, q_block)
             except Exception as e:
                 if not _is_oom(e) or q_block <= 1:
                     raise
@@ -253,13 +311,12 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                 print(f"[knn] query featurize OOM; q_block={q_block} "
                       f"(resuming at row {qs})")
                 continue
-            parts.append(part)
-            rq_parts.append(rq_part)
+            buf = _update_rows(buf, part, qs - qs0)
+            rq_buf = _update_rows(rq_buf, rq_part, qs - qs0)
             qs += part.shape[0]
-        return parts, rq_parts
+        return buf, rq_buf, n_rows
 
-    def sweep_syn(emb_q: Array, rq: Array,
-                  demote: bool) -> tuple[Array, Array]:
+    def sweep_syn(emb_q: Array, rq: Array) -> tuple[Array, Array]:
         """Resumable synthetic sweep: on OOM s_block halves and the sweep
         resumes from the current position with the running (min, argmin)
         partials intact. With ``demote`` each synthetic block streams as
@@ -271,14 +328,12 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
         ss = 0
         while ss < n_s:
             try:
-                emb_s = embed_rows(syn, ss, s_block)
-                n_valid = emb_s.shape[0]
-                rs_blk = jnp.sum(jnp.square(emb_s.astype(jnp.float32)),
-                                 axis=1)
-                if demote:
-                    emb_s = emb_s.astype(jnp.bfloat16)
+                emb_s, rs_blk, n_valid = block_norms(syn, ss, s_block)
                 if pallas and engine == "gemm":
                     from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
+                    if n_valid < s_block:  # kernel masks by row count
+                        emb_s = emb_s[:n_valid]
+                        rs_blk = rs_blk[:n_valid]
                     d_blk, i_blk = knn_argmin_pallas(
                         emb_q, emb_s, rq=rq, rs=rs_blk,
                         interpret=jax.default_backend() != "tpu")
@@ -286,9 +341,6 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                     new_min = jnp.where(better, d_blk, run_min)
                     new_idx = jnp.where(better, ss + i_blk, run_idx)
                 else:
-                    if n_valid < s_block:
-                        emb_s = pad_rows(emb_s, s_block)
-                        rs_blk = pad_rows(rs_blk, s_block)
                     new_min, new_idx = _fold_block(
                         run_min, run_idx, emb_q, rq, emb_s, ss,
                         jnp.asarray(n_valid), engine, precision, rs_blk)
@@ -303,38 +355,27 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
             ss += n_valid
         return run_min, run_idx
 
-    # probe the embedding width to decide whether queries fit resident
-    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
-        (1,) + tuple(queries.shape[1:]), queries.dtype))
-    demote = _stream_demote(probe.dtype, precision)
     cache_itemsize = 2 if demote else probe.dtype.itemsize
-    emb_bytes = n_q * probe.shape[1] * cache_itemsize
-    if emb_bytes <= query_cache_bytes:
-        parts, rq_parts = featurize_queries(0, [], [], demote)
-        emb_q_full = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        rq = (rq_parts[0] if len(rq_parts) == 1
-              else jnp.concatenate(rq_parts))
-        return sweep_syn(emb_q_full, rq, demote)
+    row_bytes = probe.shape[1] * cache_itemsize
+    # rounded DOWN to a q_block multiple: the pallas kernel pads the query
+    # axis to its tile size, and a multiple makes that pad a no-op instead
+    # of a full copy of the chunk
+    chunk_rows = max(q_block,
+                     int(query_cache_bytes // max(1, row_bytes))
+                     // q_block * q_block)
 
     out_d, out_i = [], []
-    qs = 0
-    while qs < n_q:
-        try:
-            emb_q = embed_rows(queries, qs, q_block)
-            rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
-            if demote:
-                emb_q = emb_q.astype(jnp.bfloat16)
-        except Exception as e:
-            if not _is_oom(e) or q_block <= 1:
-                raise
-            q_block = max(1, q_block // 2)
-            print(f"[knn] query featurize OOM; q_block={q_block} "
-                  f"(resuming at row {qs})")
-            continue
-        d, i = sweep_syn(emb_q, rq, demote)
-        out_d.append(d)
-        out_i.append(i)
-        qs += emb_q.shape[0]
+    qs0 = 0
+    while qs0 < n_q:
+        end = min(n_q, qs0 + chunk_rows)
+        emb_q, rq, n_rows = featurize_chunk(qs0, end, probe.shape[1])
+        d, i = sweep_syn(emb_q, rq)
+        del emb_q, rq
+        out_d.append(d[:n_rows])
+        out_i.append(i[:n_rows])
+        qs0 = end
+    if len(out_d) == 1:
+        return out_d[0], out_i[0]
     return jnp.concatenate(out_d), jnp.concatenate(out_i)
 
 
@@ -388,12 +429,13 @@ def _merge_topk(run_d: Array, run_i: Array, blk_d: Array, blk_i: Array,
 def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                       engine: str = "gemm", q_block: int = 2048,
                       s_block: int = 2048,
-                      query_cache_bytes: int = 6 << 30
+                      query_cache_bytes: int = 4 << 30
                       ) -> tuple[Array, Array]:
     """Per-query k smallest distances + their indices, streamed like
     :func:`knn_argmin_streamed` (embeddings produced block by block,
-    queries featurized once when they fit in ``query_cache_bytes``;
-    f32 embeddings stream as bf16 with f32 norms on TPU).
+    queries featurized in the largest chunks that fit
+    ``query_cache_bytes``; f32 embeddings stream as bf16 with f32 norms
+    on TPU).
 
     ``engine='pallas'`` runs each block through the fused
     ``knn_topk_pallas`` kernel (top-k state in VMEM, k min-extractions
@@ -403,70 +445,64 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
     if use_pallas:
         engine = "gemm"  # same distance math
     n_q, n_s = queries.shape[0], syn.shape[0]
-    embed_fn = _jit_cached(embed_fn)
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
-
-    def embed_block(x: Array, block: int) -> Array:
-        n_valid = x.shape[0]
-        if n_valid < block:
-            x = pad_rows(x, block)
-        return embed_fn(x)[:n_valid]
 
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
     demote = _stream_demote(probe.dtype, None)
-    cache_itemsize = 2 if demote else probe.dtype.itemsize
-    emb_bytes = n_q * probe.shape[1] * cache_itemsize
-    q_starts = (range(0, n_q, q_block) if emb_bytes > query_cache_bytes
-                else [0])
+    cdtype = jnp.bfloat16 if demote else probe.dtype
+    block_norms = partial(_block_norms, _fused_embed_norms(embed_fn, cdtype))
 
-    def featurize_q(x: Array) -> tuple[Array, Array]:
-        emb = (jnp.concatenate(
-            [embed_block(x[qs:qs + q_block], q_block)
-             for qs in range(0, x.shape[0], q_block)])
-            if x.shape[0] > q_block else embed_block(x, q_block))
-        rq = jnp.sum(jnp.square(emb.astype(jnp.float32)), axis=1)
-        if demote:
-            emb = emb.astype(jnp.bfloat16)
-        return emb, rq
+    cache_itemsize = 2 if demote else probe.dtype.itemsize
+    row_bytes = probe.shape[1] * cache_itemsize
+    chunk_rows = max(q_block,
+                     int(query_cache_bytes // max(1, row_bytes))
+                     // q_block * q_block)
 
     out_d, out_i = [], []
-    for qs in q_starts:
-        emb_q, rq = featurize_q(
-            queries if len(q_starts) == 1 else queries[qs:qs + q_block])
-        run_d = jnp.full((emb_q.shape[0], k), jnp.inf, jnp.float32)
-        run_i = jnp.zeros((emb_q.shape[0], k), jnp.int32)
+    qs0 = 0
+    while qs0 < n_q:
+        end = min(n_q, qs0 + chunk_rows)
+        n_rows = end - qs0
+        padded = n_rows + (-n_rows) % q_block
+        emb_q = jnp.zeros((padded, probe.shape[1]), cdtype)
+        rq = jnp.zeros((padded,), jnp.float32)
+        for qs in range(qs0, end, q_block):
+            part, rq_part, _ = block_norms(queries, qs, q_block)
+            emb_q = _update_rows(emb_q, part, qs - qs0)
+            rq = _update_rows(rq, rq_part, qs - qs0)
+        run_d = jnp.full((padded, k), jnp.inf, jnp.float32)
+        run_i = jnp.zeros((padded, k), jnp.int32)
         for ss in range(0, n_s, s_block):
-            emb_s = embed_block(syn[ss:ss + s_block], s_block)
-            n_valid = emb_s.shape[0]
-            rs_blk = jnp.sum(jnp.square(emb_s.astype(jnp.float32)),
-                             axis=1)
-            if demote:
-                emb_s = emb_s.astype(jnp.bfloat16)
+            emb_s, rs_blk, n_valid = block_norms(syn, ss, s_block)
             if use_pallas:
                 from ganleaks_tpu.ops.knn_pallas import knn_topk_pallas
+                if n_valid < s_block:  # kernel masks by row count
+                    emb_s = emb_s[:n_valid]
+                    rs_blk = rs_blk[:n_valid]
                 blk_d, blk_i = knn_topk_pallas(
                     emb_q, emb_s, k=k, rq=rq, rs=rs_blk,
                     interpret=jax.default_backend() != "tpu")
                 run_d, run_i = _merge_topk(run_d, run_i, blk_d,
                                            ss + blk_i, k)
             else:
-                if n_valid < s_block:
-                    emb_s = pad_rows(emb_s, s_block)
-                    rs_blk = pad_rows(rs_blk, s_block)
                 run_d, run_i = _fold_block_topk(
                     run_d, run_i, emb_q, rq, emb_s, ss,
                     jnp.asarray(n_valid), k, engine, rs_blk)
-        out_d.append(run_d)
-        out_i.append(run_i)
+        del emb_q, rq
+        out_d.append(run_d[:n_rows])
+        out_i.append(run_i[:n_rows])
+        qs0 = end
+    if len(out_d) == 1:
+        return out_d[0], out_i[0]
     return jnp.concatenate(out_d), jnp.concatenate(out_i)
 
 
 def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
                         k: int = 8, engine: str = "gemm",
                         q_block: int = 2048, s_block: int = 2048,
-                        query_cache_bytes: int = 6 << 30
+                        query_cache_bytes: int = 4 << 30
                         ) -> tuple[Array, Array]:
     """Throughput mode with exact-index re-ranking.
 

@@ -75,3 +75,19 @@ def test_two_pass_pallas_engine_equals_plain(rng):
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d_ref),
                                rtol=1e-6)
+
+
+def test_streamed_chunked_query_cache_equals_resident(rng):
+    """A query_cache_bytes too small for all queries must chunk the query
+    axis (syn re-featurized once per chunk) with identical results."""
+    q = rng.standard_normal((40, 4, 4, 3)).astype(np.float32)
+    s = rng.standard_normal((100, 4, 4, 3)).astype(np.float32)
+    embed = make_embed_fn("l2")
+    d_ref, i_ref = knn_argmin_streamed(embed, jnp.asarray(q),
+                                       jnp.asarray(s), s_block=32)
+    # row = 48 floats = 192 B; 2 kB cache -> ~10-row chunks (4 chunks)
+    d, i = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                               s_block=32, q_block=8,
+                               query_cache_bytes=2000)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
