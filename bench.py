@@ -47,9 +47,11 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
               q_block: int, s_block: int, dtype: str,
               compute_dtype: str | None = None,
               two_pass: bool = False, two_pass_k: int = 4) -> dict:
-    from ganleaks_tpu.ops.distance import make_embed_fn
-    from ganleaks_tpu.ops.knn import knn_argmin_streamed, knn_argmin_two_pass
-    from ganleaks_tpu.ops.lpips import default_lpips_params, lpips_embed_fn
+    from ganleaks_tpu.ops.distance import make_embed_fn, make_embed_parts_fn
+    from ganleaks_tpu.ops.knn import (
+        knn_argmin_streamed, knn_argmin_streamed_parts, knn_argmin_two_pass)
+    from ganleaks_tpu.ops.lpips import (
+        default_lpips_params, lpips_embed_fn, lpips_embed_parts_fn)
 
     # generate on device: the tunneled host->TPU link is ~13 MB/s. In
     # bf16 embedding mode the tower's first op casts images to bf16
@@ -72,7 +74,21 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
                                          compute_dtype=cdt),
                           dtype=jnp.dtype(dtype))
 
-    if two_pass:
+    if engine == "taps":
+        # structured embeddings: tower-native tap layouts, no flat relayout
+        parts_embed = make_embed_parts_fn(
+            "l2-lpips", lpips_embed_parts_fn(params, weight=0.2,
+                                             dtype=jnp.dtype(dtype),
+                                             compute_dtype=cdt),
+            dtype=jnp.dtype(dtype))
+
+        def attack():
+            d, i = knn_argmin_streamed_parts(parts_embed, queries, syn,
+                                             q_block=q_block,
+                                             s_block=s_block)
+            _sync(d, i)
+            return d, i
+    elif two_pass:
         # exact-index throughput mode: bf16 candidate pass + f32 rerank
         embed_lo = make_embed_fn(
             "l2-lpips", lpips_embed_fn(params, weight=0.2,
@@ -136,9 +152,10 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--metric", default="knn", choices=["knn", "gen"])
     # defaults = the fastest measured mode on v5e (docs/PERF.md):
-    # bf16 LPIPS tower + pallas fused argmin kernel, 30.3M pairs/s
-    ap.add_argument("--engine", default="pallas",
-                    choices=["gemm", "pallas", "exact"])
+    # bf16 LPIPS tower + tap-structured embeddings (no flat relayout),
+    # 43.6M pairs/s at 2000x20000
+    ap.add_argument("--engine", default="taps",
+                    choices=["gemm", "pallas", "exact", "taps"])
     ap.add_argument("--n_q", type=int, default=None)
     ap.add_argument("--n_syn", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16",
@@ -180,8 +197,8 @@ def main() -> None:
         out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
                         args.dtype, args.compute_dtype,
                         two_pass=args.two_pass, two_pass_k=args.two_pass_k)
-    except Exception as e:  # pallas unsupported on this backend -> XLA path
-        if engine == "pallas":
+    except Exception as e:  # engine unsupported on this backend -> XLA path
+        if engine in ("pallas", "taps"):
             print(f"# pallas engine failed ({type(e).__name__}: {e}); "
                   "falling back to gemm", flush=True)
             engine = "gemm"

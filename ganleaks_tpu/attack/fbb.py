@@ -51,25 +51,31 @@ def resolve_save_dir(cfg: AttackConfig) -> str:
     return check_folder(save_dir)
 
 
-def build_embed_fn(cfg: AttackConfig, dtype=None):
-    """Distance featurizer for the configured metric."""
+def build_embed_fn(cfg: AttackConfig, dtype=None, structured: bool = False):
+    """Distance featurizer for the configured metric. ``structured=True``
+    returns the parts form (list of tower-native tap layouts) for the
+    'taps' engine — no flat relayout (``ops/distance.make_embed_parts_fn``)."""
+    from ganleaks_tpu.ops.distance import make_embed_parts_fn
     dtype = dtype or jnp.dtype(cfg.dtype)
+    maker = make_embed_parts_fn if structured else make_embed_fn
     if cfg.distance == "l2":
-        return make_embed_fn("l2", dtype=dtype)
+        return maker("l2", dtype=dtype)
     if cfg.distance != "l2-lpips":
         raise ValueError(f"unknown distance {cfg.distance!r}; "
                          "expected 'l2' or 'l2-lpips'")
     from ganleaks_tpu.ops.lpips import (
-        default_lpips_params, load_lpips_params, lpips_embed_fn)
+        default_lpips_params, load_lpips_params, lpips_embed_fn,
+        lpips_embed_parts_fn)
     if cfg.lpips_weights:
         params = load_lpips_params(cfg.lpips_weights)
     else:
         params = default_lpips_params(cfg.lpips_net)
     cdt = jnp.dtype(cfg.lpips_compute_dtype) if cfg.lpips_compute_dtype \
         else None
-    return make_embed_fn(
+    lp_maker = lpips_embed_parts_fn if structured else lpips_embed_fn
+    return maker(
         "l2-lpips",
-        lpips_embed_fn(params, weight=0.2, dtype=dtype, compute_dtype=cdt),
+        lp_maker(params, weight=0.2, dtype=dtype, compute_dtype=cdt),
         dtype=dtype)
 
 
@@ -104,6 +110,12 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                             engine=cfg.engine,
                             q_block=cfg.query_block,
                             s_block=cfg.syn_block)
+        elif cfg.engine == "taps":
+            # tap-structured embeddings: no flat relayout (docs/PERF.md)
+            from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
+            d, i = knn_argmin_streamed_parts(
+                build_embed_fn(cfg, structured=True), q_j, syn_j,
+                q_block=cfg.query_block, s_block=cfg.syn_block)
         elif cfg.two_pass:
             # exact-index throughput mode: bf16 tower candidates + f32
             # re-rank at precision='highest' (ops/knn.knn_argmin_two_pass)

@@ -125,7 +125,9 @@ class AttackConfig:
     params: str | None = None
     save_root: str = "fbb_attack"
     engine: str = "gemm"           # 'gemm' (MXU fold) | 'pallas' (fused
-                                   # VMEM-argmin kernel, fastest) |
+                                   # VMEM-argmin kernel) | 'taps'
+                                   # (tap-structured embeddings, no flat
+                                   # relayout — fastest; docs/PERF.md) |
                                    # 'exact' (reference math, elementwise)
     dtype: str = "float32"         # embedding dtype for the gemm engine
     lpips_compute_dtype: str | None = None  # 'bfloat16' runs the VGG tower

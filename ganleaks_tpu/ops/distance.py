@@ -77,6 +77,27 @@ def make_embed_fn(distance: str, lpips_embed: Callable | None = None,
     raise ValueError(f"unknown distance {distance!r}")
 
 
+def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
+                        dtype=jnp.float32
+                        ) -> Callable[[Array], list[Array]]:
+    """Structured variant of :func:`make_embed_fn`: the featurizer returns
+    a LIST of parts with ``d(x, y) = sum_l ||part_l(x) - part_l(y)||^2``.
+
+    Part 0 is the flat pixel embedding; LPIPS taps keep their tower-native
+    (N, H_l*W_l, C_l) layout so no flat relayout/concat is paid (see
+    ``ops/lpips.lpips_embed_parts``). Consumed by the 'taps' kNN engine."""
+    if distance == "l2":
+        return lambda x: [pixel_embedding(x).astype(dtype)]
+    if distance == "l2-lpips":
+        if lpips_parts is None:
+            raise ValueError("l2-lpips requires an LPIPS parts function")
+
+        def embed(x: Array) -> list[Array]:
+            return [pixel_embedding(x).astype(dtype)] + lpips_parts(x)
+        return embed
+    raise ValueError(f"unknown distance {distance!r}")
+
+
 def rows_embedding(x: Array) -> Array:
     """Tabular rows (medGAN path): treat (N, D) records directly as
     embeddings of the *sum*-of-squares distance; divide by sqrt(D) for the
