@@ -74,7 +74,29 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
                                          compute_dtype=cdt),
                           dtype=jnp.dtype(dtype))
 
-    if engine == "taps":
+    if two_pass:
+        # exact-index throughput mode: bf16 candidate pass + f32 rerank;
+        # engine='taps' runs pass 1 on structured (tap-layout) embeddings
+        if engine == "taps":
+            embed_lo = make_embed_parts_fn(
+                "l2-lpips", lpips_embed_parts_fn(params, weight=0.2,
+                                                 dtype=jnp.bfloat16,
+                                                 compute_dtype=jnp.bfloat16),
+                dtype=jnp.bfloat16)
+        else:
+            embed_lo = make_embed_fn(
+                "l2-lpips", lpips_embed_fn(params, weight=0.2,
+                                           dtype=jnp.bfloat16,
+                                           compute_dtype=jnp.bfloat16),
+                dtype=jnp.bfloat16)
+
+        def attack():
+            d, i = knn_argmin_two_pass(embed_lo, embed, queries, syn,
+                                       k=two_pass_k, engine=engine,
+                                       q_block=q_block, s_block=s_block)
+            _sync(d, i)
+            return d, i
+    elif engine == "taps":
         # structured embeddings: tower-native tap layouts, no flat relayout
         parts_embed = make_embed_parts_fn(
             "l2-lpips", lpips_embed_parts_fn(params, weight=0.2,
@@ -86,20 +108,6 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
             d, i = knn_argmin_streamed_parts(parts_embed, queries, syn,
                                              q_block=q_block,
                                              s_block=s_block)
-            _sync(d, i)
-            return d, i
-    elif two_pass:
-        # exact-index throughput mode: bf16 candidate pass + f32 rerank
-        embed_lo = make_embed_fn(
-            "l2-lpips", lpips_embed_fn(params, weight=0.2,
-                                       dtype=jnp.bfloat16,
-                                       compute_dtype=jnp.bfloat16),
-            dtype=jnp.bfloat16)
-
-        def attack():
-            d, i = knn_argmin_two_pass(embed_lo, embed, queries, syn,
-                                       k=two_pass_k, engine=engine,
-                                       q_block=q_block, s_block=s_block)
             _sync(d, i)
             return d, i
     else:

@@ -110,23 +110,25 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                             engine=cfg.engine,
                             q_block=cfg.query_block,
                             s_block=cfg.syn_block)
-        elif cfg.engine == "taps":
-            # tap-structured embeddings: no flat relayout (docs/PERF.md)
-            from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
-            d, i = knn_argmin_streamed_parts(
-                build_embed_fn(cfg, structured=True), q_j, syn_j,
-                q_block=cfg.query_block, s_block=cfg.syn_block)
         elif cfg.two_pass:
             # exact-index throughput mode: bf16 tower candidates + f32
-            # re-rank at precision='highest' (ops/knn.knn_argmin_two_pass)
+            # re-rank at precision='highest' (ops/knn.knn_argmin_two_pass);
+            # engine='taps' runs pass 1 on structured embeddings
             from ganleaks_tpu.ops.knn import knn_argmin_two_pass
             lo_cfg = replace(cfg, dtype="bfloat16",
                              lpips_compute_dtype="bfloat16")
             hi_cfg = replace(cfg, dtype="float32",
                              lpips_compute_dtype=None)
             d, i = knn_argmin_two_pass(
-                build_embed_fn(lo_cfg), build_embed_fn(hi_cfg), q_j,
+                build_embed_fn(lo_cfg, structured=cfg.engine == "taps"),
+                build_embed_fn(hi_cfg), q_j,
                 syn_j, k=cfg.two_pass_k, engine=cfg.engine,
+                q_block=cfg.query_block, s_block=cfg.syn_block)
+        elif cfg.engine == "taps":
+            # tap-structured embeddings: no flat relayout (docs/PERF.md)
+            from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
+            d, i = knn_argmin_streamed_parts(
+                build_embed_fn(cfg, structured=True), q_j, syn_j,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
         else:
             d, i = knn_argmin_streamed(embed, q_j, syn_j,

@@ -556,6 +556,86 @@ def knn_argmin_streamed_parts(embed_fn, queries: Array, syn: Array, *,
     return jnp.concatenate(out_d), jnp.concatenate(out_i)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _fold_block_topk_parts(run_d: Array, run_i: Array, q_parts: list[Array],
+                           rq: Array, s_parts: list[Array], rs: Array,
+                           col0, n_valid: Array, k: int
+                           ) -> tuple[Array, Array]:
+    """Top-k analog of :func:`_fold_block_parts` (same stable-merge
+    first-index tie-break as :func:`_fold_block_topk`)."""
+    cross = None
+    for q_l, s_l in zip(q_parts, s_parts):
+        dims = tuple(range(1, q_l.ndim))
+        c = jax.lax.dot_general(q_l, s_l, ((dims, dims), ((), ())),
+                                preferred_element_type=jnp.float32)
+        cross = c if cross is None else cross + c
+    d = rq[:, None] + rs[None, :] - 2.0 * cross
+    local = jnp.arange(s_parts[0].shape[0])
+    d = jnp.where(local[None, :] < n_valid, d, jnp.inf)
+    cat_d = jnp.concatenate([run_d, d], axis=1)
+    cat_i = jnp.concatenate(
+        [run_i, jnp.broadcast_to(col0 + local.astype(jnp.int32),
+                                 d.shape)], axis=1)
+    neg_top, pos = jax.lax.top_k(-cat_d, k)
+    return -neg_top, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
+def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
+                            k: int = 8, q_block: int = 2048,
+                            s_block: int = 2048,
+                            query_cache_bytes: int = 4 << 30
+                            ) -> tuple[Array, Array]:
+    """Per-query k smallest distances + indices over a STRUCTURED
+    embedding (parts list) — the top-k analog of
+    :func:`knn_argmin_streamed_parts`, used as pass 1 of the two-pass
+    exact-index mode with ``engine='taps'``."""
+    n_q, n_s = queries.shape[0], syn.shape[0]
+    q_block = min(q_block, n_q)
+    s_block = min(s_block, n_s)
+
+    probe = list(jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype)))
+    demote = _stream_demote(probe[0].dtype, None)
+    cdtype = jnp.bfloat16 if demote else probe[0].dtype
+    block_norms = partial(_parts_block_norms,
+                          _fused_parts_norms(embed_fn, cdtype))
+
+    row_bytes = _phys_row_bytes(
+        [tuple(p.shape[1:]) for p in probe], jnp.dtype(cdtype).itemsize)
+    chunk_rows = max(q_block,
+                     int(query_cache_bytes // max(1, row_bytes))
+                     // q_block * q_block)
+
+    out_d, out_i = [], []
+    qs0 = 0
+    while qs0 < n_q:
+        end = min(n_q, qs0 + chunk_rows)
+        n_rows = end - qs0
+        padded = n_rows + (-n_rows) % q_block
+        bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
+                for p in probe]
+        rq = jnp.zeros((padded,), jnp.float32)
+        for qs in range(qs0, end, q_block):
+            parts, rq_part, _ = block_norms(queries, qs, q_block)
+            bufs = [_update_rows(b, p, qs - qs0)
+                    for b, p in zip(bufs, parts)]
+            rq = _update_rows(rq, rq_part, qs - qs0)
+        run_d = jnp.full((padded, k), jnp.inf, jnp.float32)
+        run_i = jnp.zeros((padded, k), jnp.int32)
+        for ss in range(0, n_s, s_block):
+            s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
+            run_d, run_i = _fold_block_topk_parts(
+                run_d, run_i, bufs, rq, s_parts, rs_blk, ss,
+                jnp.asarray(n_valid), k)
+        del bufs, rq
+        out_d.append(run_d[:n_rows])
+        out_i.append(run_i[:n_rows])
+        qs0 = end
+    if len(out_d) == 1:
+        return out_d[0], out_i[0]
+    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+
+
 @partial(jax.jit, static_argnames=("k", "engine"))
 def _fold_block_topk(run_d: Array, run_i: Array, emb_q: Array, rq: Array,
                      emb_s_blk: Array, col0: int, n_valid: Array,
@@ -699,9 +779,15 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
     distance entirely in reduced precision: same throughput, exact
     indices.
     """
-    _, top_i = knn_topk_streamed(
-        embed_lo, queries, syn, k=k, engine=engine, q_block=q_block,
-        s_block=s_block, query_cache_bytes=query_cache_bytes)
+    if engine == "taps":
+        # embed_lo must be the structured (parts) featurizer
+        _, top_i = knn_topk_streamed_parts(
+            embed_lo, queries, syn, k=k, q_block=q_block,
+            s_block=s_block, query_cache_bytes=query_cache_bytes)
+    else:
+        _, top_i = knn_topk_streamed(
+            embed_lo, queries, syn, k=k, engine=engine, q_block=q_block,
+            s_block=s_block, query_cache_bytes=query_cache_bytes)
     cand = np.unique(np.asarray(top_i).ravel())
     sub = jnp.take(jnp.asarray(syn), jnp.asarray(cand), axis=0)
     # re-rank always through the XLA gemm at precision='highest' (the

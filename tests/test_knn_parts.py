@@ -14,6 +14,9 @@ from ganleaks_tpu.ops.distance import make_embed_fn, make_embed_parts_fn
 from ganleaks_tpu.ops.knn import (
     knn_argmin_streamed,
     knn_argmin_streamed_parts,
+    knn_argmin_two_pass,
+    knn_topk_streamed,
+    knn_topk_streamed_parts,
 )
 from ganleaks_tpu.ops.lpips import (
     init_lpips_params,
@@ -65,6 +68,36 @@ def test_taps_engine_l2_and_chunked_cache(rng):
     d_ref, i_ref = knn_argmin_streamed(embed, q, s, s_block=32)
     d, i = knn_argmin_streamed_parts(parts, q, s, q_block=8, s_block=32,
                                      query_cache_bytes=2000)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
+
+
+def test_topk_parts_equals_flat(rng):
+    params = init_lpips_params(0, "vgg")
+    q = jnp.asarray(rng.standard_normal((12, 16, 16, 3)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((40, 16, 16, 3)).astype(np.float32))
+    embed = make_embed_fn("l2-lpips", lpips_embed_fn(params, weight=0.2))
+    parts = make_embed_parts_fn(
+        "l2-lpips", lpips_embed_parts_fn(params, weight=0.2))
+    d_ref, i_ref = knn_topk_streamed(embed, q, s, k=3, q_block=8, s_block=16)
+    d, i = knn_topk_streamed_parts(parts, q, s, k=3, q_block=8, s_block=16)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-5)
+
+
+def test_two_pass_taps_engine_exact_indices(rng):
+    """engine='taps' two-pass (structured bf16 pass 1 + flat f32 re-rank)
+    returns the full f32 search's indices."""
+    params = init_lpips_params(0, "vgg")
+    q = jnp.asarray(rng.standard_normal((10, 16, 16, 3)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((30, 16, 16, 3)).astype(np.float32))
+    embed_hi = make_embed_fn("l2-lpips", lpips_embed_fn(params, weight=0.2))
+    parts_lo = make_embed_parts_fn(
+        "l2-lpips", lpips_embed_parts_fn(params, weight=0.2))
+    d_ref, i_ref = knn_argmin_streamed(embed_hi, q, s, engine="gemm",
+                                       q_block=8, s_block=16)
+    d, i = knn_argmin_two_pass(parts_lo, embed_hi, q, s, k=4,
+                               engine="taps", q_block=8, s_block=16)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
 
