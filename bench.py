@@ -56,8 +56,11 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
     # generate on device: the tunneled host->TPU link is ~13 MB/s. In
     # bf16 embedding mode the tower's first op casts images to bf16
     # anyway, so storing them bf16 is numerically a no-op and halves the
-    # resident image HBM (100k 64x64 images: 4.9 GB -> 2.5 GB)
-    img_dtype = (jnp.bfloat16 if jnp.dtype(dtype) == jnp.bfloat16
+    # resident image HBM (100k 64x64 images: 4.9 GB -> 2.5 GB). Two-pass
+    # mode keeps f32 images: its contract is indices/distances equal to
+    # the FULL f32 search, whose tower reads f32 pixels
+    img_dtype = (jnp.bfloat16
+                 if jnp.dtype(dtype) == jnp.bfloat16 and not two_pass
                  else jnp.float32)
     make = jax.jit(lambda key, n: jax.random.uniform(
         key, (n, resolution, resolution, 3), jnp.float32, -1, 1
@@ -90,8 +93,16 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
                                            compute_dtype=jnp.bfloat16),
                 dtype=jnp.bfloat16)
 
+        # the re-rank pass must be the f32 parity tower regardless of the
+        # CLI --dtype, or the advertised "exact f32 indices" is untrue
+        embed_hi = make_embed_fn(
+            "l2-lpips", lpips_embed_fn(params, weight=0.2,
+                                       dtype=jnp.float32,
+                                       compute_dtype=None),
+            dtype=jnp.float32)
+
         def attack():
-            d, i = knn_argmin_two_pass(embed_lo, embed, queries, syn,
+            d, i = knn_argmin_two_pass(embed_lo, embed_hi, queries, syn,
                                        k=two_pass_k, engine=engine,
                                        q_block=q_block, s_block=s_block)
             _sync(d, i)
@@ -207,7 +218,7 @@ def main() -> None:
                         two_pass=args.two_pass, two_pass_k=args.two_pass_k)
     except Exception as e:  # engine unsupported on this backend -> XLA path
         if engine in ("pallas", "taps"):
-            print(f"# pallas engine failed ({type(e).__name__}: {e}); "
+            print(f"# {engine} engine failed ({type(e).__name__}: {e}); "
                   "falling back to gemm", flush=True)
             engine = "gemm"
             out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,

@@ -106,8 +106,11 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                 knn_argmin_ring, knn_argmin_sharded)
             shard_fn = (knn_argmin_ring if cfg.shard_layout == "ring"
                         else knn_argmin_sharded)
+            # the sharded paths run on flat embeddings; 'taps' is the
+            # single-device layout optimization — same math as gemm
+            shard_engine = "gemm" if cfg.engine == "taps" else cfg.engine
             d, i = shard_fn(embed, q_j, syn_j, mesh,
-                            engine=cfg.engine,
+                            engine=shard_engine,
                             q_block=cfg.query_block,
                             s_block=cfg.syn_block)
         elif cfg.two_pass:

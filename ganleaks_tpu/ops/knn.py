@@ -23,7 +23,6 @@ strict parity against reference outputs is wanted.
 
 from __future__ import annotations
 
-import weakref
 from functools import partial
 
 import jax
@@ -102,6 +101,10 @@ def knn_argmin(emb_q: Array, emb_s: Array, *, engine: str = "gemm",
     s_block = min(s_block, max(8, n_s))
     if engine == "pallas":
         engine, pallas = "gemm", True
+    if engine not in ("gemm", "exact"):
+        raise ValueError(f"unknown kNN engine {engine!r}; flat search "
+                         "supports 'gemm'/'pallas'/'exact' ('taps' needs "
+                         "the structured knn_argmin_streamed_parts path)")
     if pallas and engine == "gemm":
         # the kernel picks its own VMEM-safe tile sizes; the XLA-path
         # q_block/s_block here are HBM-sized and would blow VMEM scratch
@@ -141,10 +144,13 @@ def _fold_block(run_min: Array, run_idx: Array, emb_q: Array, rq: Array,
             emb_q, emb_s_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
         d = rq[:, None] + rs[None, :] - 2.0 * cross
-    else:
+    elif engine == "exact":
         diff = emb_q[:, None, :].astype(jnp.float32) \
             - emb_s_blk[None, :, :].astype(jnp.float32)
         d = jnp.sum(jnp.square(diff), axis=-1)
+    else:
+        raise ValueError(f"unknown kNN engine {engine!r} "
+                         "(flat fold supports 'gemm'/'exact')")
     local = jnp.arange(emb_s_blk.shape[0])
     d = jnp.where(local[None, :] < n_valid, d, jnp.inf)
     blk_arg = jnp.argmin(d, axis=1)
@@ -167,17 +173,29 @@ def _stream_demote(dtype, precision: str | None) -> bool:
             and jax.default_backend() == "tpu")
 
 
-_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
 def _jit_cached(fn):
+    """jit ``fn`` once per function object, caching the wrapper ON the
+    object itself (``fn.__dict__``) so the cache entry — and its compiled
+    executables — die with ``fn``. (A module-level WeakKeyDictionary is
+    self-defeating here: the jitted wrapper strongly references ``fn``,
+    so entries are never evicted and a long hyperparameter sweep leaks
+    one compiled tower per embed closure.)"""
     try:
-        return _JIT_CACHE.setdefault(fn, jax.jit(fn))
-    except TypeError:  # unhashable/unweakrefable callables
+        d = fn.__dict__
+    except AttributeError:  # bound methods / builtins: no caching
         return jax.jit(fn)
+    if "_ganleaks_jit" not in d:
+        d["_ganleaks_jit"] = jax.jit(fn)
+    return d["_ganleaks_jit"]
 
 
-_FUSED_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+def _fused_cache_for(embed_fn) -> dict:
+    """Per-dtype cache of fused wrappers, stored on ``embed_fn`` so it is
+    garbage-collected with it (see :func:`_jit_cached`)."""
+    try:
+        return embed_fn.__dict__.setdefault("_ganleaks_fused", {})
+    except AttributeError:
+        return {}
 
 
 def _fused_embed_norms(embed_fn, cdtype):
@@ -191,13 +209,7 @@ def _fused_embed_norms(embed_fn, cdtype):
     resident query cache is what OOMed a 16 GB chip). Under jit the
     upcast/square live in registers and XLA frees tower activations
     before the outputs land."""
-    try:
-        per = _FUSED_CACHE.get(embed_fn)
-        if per is None:
-            per = {}
-            _FUSED_CACHE[embed_fn] = per
-    except TypeError:  # unweakrefable callable: no caching
-        per = {}
+    per = _fused_cache_for(embed_fn)
     key = jnp.dtype(cdtype).name
     if key not in per:
         def emb_norms(blk):
@@ -236,6 +248,97 @@ def _update_rows(buf: Array, part: Array, offset) -> Array:
         buf, part, (offset,) + (0,) * (buf.ndim - 1))
 
 
+def _flat_block_norms(emb_norms, x: Array, start: int, block: int
+                      ) -> tuple[list[Array], Array, int]:
+    """:func:`_block_norms` wrapped to the parts contract (1-part list) so
+    flat and structured embeddings share one streaming driver."""
+    e, r, n_valid = _block_norms(emb_norms, x, start, block)
+    return [e], r, n_valid
+
+
+def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
+                   q_block: int, s_block: int, query_cache_bytes: int,
+                   cdtype, init_state, fold, take):
+    """Shared chunked streaming driver for every streamed kNN variant
+    (flat/parts x argmin/top-k): featurize the query rows chunk by chunk
+    into preallocated donated cache buffers, sweep the synthetic set once
+    per chunk, and resume on device OOM by halving only the offending
+    dimension's block (completed cache rows and running fold state are
+    kept; no finished block is recomputed).
+
+    Hooks:
+      ``block_norms(x, start, block) -> (parts, f32 row norms, n_valid)``
+      ``init_state(padded_rows) -> state``
+      ``fold(state, q_bufs, rq, s_parts, rs, col0, n_valid) -> state``
+          (may raise OOM; must not mutate ``state`` before succeeding)
+      ``take(state, n_rows) -> per-query output tuple``
+
+    Cache writes are CAPPED to the buffer end: after an OOM halves
+    ``q_block`` to a size that does not divide the remaining span, an
+    uncapped padded-block write would run past the buffer and
+    ``dynamic_update_slice`` would clamp the start index — silently
+    overwriting previously featurized rows."""
+    n_q, n_s = queries.shape[0], syn.shape[0]
+    row_bytes = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
+                                jnp.dtype(cdtype).itemsize)
+    # chunk_rows rounds DOWN to a q_block multiple: full-size featurize
+    # blocks tile the chunk exactly, so padded tails only appear at n_q
+    chunk_rows = max(q_block,
+                     int(query_cache_bytes // max(1, row_bytes))
+                     // q_block * q_block)
+
+    outs = []
+    qs0 = 0
+    while qs0 < n_q:
+        end = min(n_q, qs0 + chunk_rows)
+        n_rows = end - qs0
+        padded = n_rows + (-n_rows) % q_block
+        bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
+                for p in probe]
+        rq = jnp.zeros((padded,), jnp.float32)
+        qs = qs0
+        while qs < end:
+            try:
+                parts, rq_part, _ = block_norms(queries, qs, q_block)
+            except Exception as e:
+                if not _is_oom(e) or q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                print(f"[knn] query featurize OOM; q_block={q_block} "
+                      f"(resuming at row {qs})")
+                continue
+            cap = padded - (qs - qs0)
+            if parts[0].shape[0] > cap:
+                parts = [p[:cap] for p in parts]
+                rq_part = rq_part[:cap]
+            bufs = [_update_rows(b, p, qs - qs0)
+                    for b, p in zip(bufs, parts)]
+            rq = _update_rows(rq, rq_part, qs - qs0)
+            qs += parts[0].shape[0]
+        state = init_state(padded)
+        ss = 0
+        while ss < n_s:
+            try:
+                s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
+                new_state = fold(state, bufs, rq, s_parts, rs_blk, ss,
+                                 n_valid)
+            except Exception as e:
+                if not _is_oom(e) or s_block <= 1:
+                    raise
+                s_block = max(1, s_block // 2)
+                print(f"[knn] synthetic stream OOM; s_block={s_block} "
+                      f"(resuming at row {ss})")
+                continue
+            state = new_state
+            ss += n_valid
+        del bufs, rq
+        outs.append(take(state, n_rows))
+        qs0 = end
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate(cols) for cols in zip(*outs))
+
+
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
@@ -246,12 +349,13 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     for feature spaces too large to materialize (LPIPS at 64x64 is ~512k
     dims/image: 100k images would be 200 GB).
 
-    When the full query embedding matrix fits in ``query_cache_bytes`` of
-    HBM it is featurized ONCE and every synthetic block is visited once:
-    ``N_q + N_s`` forwards total. Otherwise the synthetic set is
-    re-featurized per query block (``N_q + N_s * ceil(N_q/q_block)``).
-    Queries/syn can be image arrays or anything ``embed_fn`` accepts, as
-    long as axis 0 indexes samples.
+    Query embeddings are cached in the largest chunks that fit
+    ``query_cache_bytes`` of HBM; the synthetic set is re-featurized once
+    per CHUNK: ``N_q + N_s * ceil(N_q / chunk_rows)`` forwards total
+    (``N_q + N_s`` when all queries fit — at the 100k x 20k north-star
+    config with the 4 GB default that is 5 synthetic sweeps, not the 49
+    a per-q_block scheme would pay). Queries/syn can be image arrays or
+    anything ``embed_fn`` accepts, as long as axis 0 indexes samples.
 
     On device OOM, only the OFFENDING dimension's block is halved and the
     search RESUMES: query featurize failures halve ``q_block`` keeping the
@@ -266,117 +370,52 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
         engine, pallas = "gemm", True
     if precision == "highest":
         pallas = False  # fused kernel streams bf16; the fold honors precision
+    if engine not in ("gemm", "exact"):
+        raise ValueError(f"unknown kNN engine {engine!r}; the flat search "
+                         "supports 'gemm'/'pallas'/'exact' ('taps' is "
+                         "knn_argmin_streamed_parts)")
     n_q, n_s = queries.shape[0], syn.shape[0]
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
 
-    # probe the embedding width; queries are processed in the largest
-    # cache-fitting chunks so the synthetic set is re-featurized
-    # ceil(N_q / chunk) times — NOT ceil(N_q / q_block) times (at the
-    # 100k x 20k north-star config with a 4 GB cache that is 5 synthetic
-    # sweeps instead of 49)
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
     demote = _stream_demote(probe.dtype, precision)
     cdtype = jnp.bfloat16 if demote else probe.dtype
     # one fused compiled call per block shape: tower + f32 norms + cast
     # (see _fused_embed_norms — eager norm dispatch OOMs at scale)
-    block_norms = partial(_block_norms, _fused_embed_norms(embed_fn, cdtype))
+    block_norms = partial(_flat_block_norms,
+                          _fused_embed_norms(embed_fn, cdtype))
 
-    def featurize_chunk(qs0: int, end: int, width: int
-                        ) -> tuple[Array, Array, int]:
-        """Resumable query featurize of rows [qs0, end) into ONE
-        preallocated cache buffer, padded to a q_block multiple so every
-        tower call keeps the shared block shape (pad rows carry embed(0)
-        garbage; their results are sliced off after the sweep). Writes
-        are in-place donated row updates — a list+concatenate would
-        transiently double the chunk's footprint — and stay SEPARATE
-        from the fused embed call: donation destroys the buffer if its
-        computation dies, while a pure aliased row-write allocates
-        nothing and cannot OOM, so an embed OOM halves q_block and the
-        walk resumes with every completed row intact."""
-        nonlocal q_block
-        n_rows = end - qs0
-        padded = n_rows + (-n_rows) % q_block
-        buf = jnp.zeros((padded, width), cdtype)
-        rq_buf = jnp.zeros((padded,), jnp.float32)
-        qs = qs0
-        while qs < end:
-            try:
-                part, rq_part, _ = block_norms(queries, qs, q_block)
-            except Exception as e:
-                if not _is_oom(e) or q_block <= 1:
-                    raise
-                q_block = max(1, q_block // 2)
-                print(f"[knn] query featurize OOM; q_block={q_block} "
-                      f"(resuming at row {qs})")
-                continue
-            buf = _update_rows(buf, part, qs - qs0)
-            rq_buf = _update_rows(rq_buf, rq_part, qs - qs0)
-            qs += part.shape[0]
-        return buf, rq_buf, n_rows
+    def init_state(padded: int):
+        return (jnp.full((padded,), jnp.inf, jnp.float32),
+                jnp.zeros((padded,), jnp.int32))
 
-    def sweep_syn(emb_q: Array, rq: Array) -> tuple[Array, Array]:
-        """Resumable synthetic sweep: on OOM s_block halves and the sweep
-        resumes from the current position with the running (min, argmin)
-        partials intact. With ``demote`` each synthetic block streams as
-        bf16 (f32 norms computed pre-demotion) — same gemm math as XLA's
-        default in-register demotion, half the bytes."""
-        nonlocal s_block
-        run_min = jnp.full((emb_q.shape[0],), jnp.inf, jnp.float32)
-        run_idx = jnp.zeros((emb_q.shape[0],), jnp.int32)
-        ss = 0
-        while ss < n_s:
-            try:
-                emb_s, rs_blk, n_valid = block_norms(syn, ss, s_block)
-                if pallas and engine == "gemm":
-                    from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
-                    if n_valid < s_block:  # kernel masks by row count
-                        emb_s = emb_s[:n_valid]
-                        rs_blk = rs_blk[:n_valid]
-                    d_blk, i_blk = knn_argmin_pallas(
-                        emb_q, emb_s, rq=rq, rs=rs_blk,
-                        interpret=jax.default_backend() != "tpu")
-                    better = d_blk < run_min  # in-order: first index kept
-                    new_min = jnp.where(better, d_blk, run_min)
-                    new_idx = jnp.where(better, ss + i_blk, run_idx)
-                else:
-                    new_min, new_idx = _fold_block(
-                        run_min, run_idx, emb_q, rq, emb_s, ss,
-                        jnp.asarray(n_valid), engine, precision, rs_blk)
-            except Exception as e:
-                if not _is_oom(e) or s_block <= 1:
-                    raise
-                s_block = max(1, s_block // 2)
-                print(f"[knn] synthetic stream OOM; s_block={s_block} "
-                      f"(resuming at row {ss})")
-                continue
-            run_min, run_idx = new_min, new_idx
-            ss += n_valid
-        return run_min, run_idx
+    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
+        run_min, run_idx = state
+        emb_q, emb_s = bufs[0], s_parts[0]
+        if pallas and engine == "gemm":
+            from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
+            if n_valid < emb_s.shape[0]:  # kernel masks by row count
+                emb_s = emb_s[:n_valid]
+                rs_blk = rs_blk[:n_valid]
+            d_blk, i_blk = knn_argmin_pallas(
+                emb_q, emb_s, rq=rq, rs=rs_blk,
+                interpret=jax.default_backend() != "tpu")
+            better = d_blk < run_min  # in-order: first index kept
+            return (jnp.where(better, d_blk, run_min),
+                    jnp.where(better, ss + i_blk, run_idx))
+        return _fold_block(run_min, run_idx, emb_q, rq, emb_s, ss,
+                           jnp.asarray(n_valid), engine, precision, rs_blk)
 
-    cache_itemsize = 2 if demote else probe.dtype.itemsize
-    row_bytes = probe.shape[1] * cache_itemsize
-    # rounded DOWN to a q_block multiple: the pallas kernel pads the query
-    # axis to its tile size, and a multiple makes that pad a no-op instead
-    # of a full copy of the chunk
-    chunk_rows = max(q_block,
-                     int(query_cache_bytes // max(1, row_bytes))
-                     // q_block * q_block)
+    def take(state, n_rows: int):
+        return state[0][:n_rows], state[1][:n_rows]
 
-    out_d, out_i = [], []
-    qs0 = 0
-    while qs0 < n_q:
-        end = min(n_q, qs0 + chunk_rows)
-        emb_q, rq, n_rows = featurize_chunk(qs0, end, probe.shape[1])
-        d, i = sweep_syn(emb_q, rq)
-        del emb_q, rq
-        out_d.append(d[:n_rows])
-        out_i.append(i[:n_rows])
-        qs0 = end
-    if len(out_d) == 1:
-        return out_d[0], out_i[0]
-    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+    return _stream_search(block_norms, [probe], queries, syn,
+                          q_block=q_block, s_block=s_block,
+                          query_cache_bytes=query_cache_bytes,
+                          cdtype=cdtype, init_state=init_state, fold=fold,
+                          take=take)
 
 
 # ---------------------------------------------------------------------------
@@ -391,13 +430,7 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
 def _fused_parts_norms(embed_fn, cdtype):
     """jit-cached ``blk -> ([parts cast to cdtype], f32 row norms summed
     over parts)`` — same fusion rationale as :func:`_fused_embed_norms`."""
-    try:
-        per = _FUSED_CACHE.get(embed_fn)
-        if per is None:
-            per = {}
-            _FUSED_CACHE[embed_fn] = per
-    except TypeError:
-        per = {}
+    per = _fused_cache_for(embed_fn)
     key = "parts:" + jnp.dtype(cdtype).name
     if key not in per:
         def parts_norms(blk):
@@ -480,80 +513,30 @@ def knn_argmin_streamed_parts(embed_fn, queries: Array, syn: Array, *,
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
 
-    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
-        (1,) + tuple(queries.shape[1:]), queries.dtype))
-    probe = list(probe)
+    probe = list(jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype)))
     demote = _stream_demote(probe[0].dtype, precision)
     cdtype = jnp.bfloat16 if demote else probe[0].dtype
     block_norms = partial(_parts_block_norms,
                           _fused_parts_norms(embed_fn, cdtype))
 
-    def featurize_chunk(qs0: int, end: int
-                        ) -> tuple[list[Array], Array, int]:
-        nonlocal q_block
-        n_rows = end - qs0
-        padded = n_rows + (-n_rows) % q_block
-        bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
-                for p in probe]
-        rq_buf = jnp.zeros((padded,), jnp.float32)
-        qs = qs0
-        while qs < end:
-            try:
-                parts, rq_part, _ = block_norms(queries, qs, q_block)
-            except Exception as e:
-                if not _is_oom(e) or q_block <= 1:
-                    raise
-                q_block = max(1, q_block // 2)
-                print(f"[knn] query featurize OOM; q_block={q_block} "
-                      f"(resuming at row {qs})")
-                continue
-            bufs = [_update_rows(b, p, qs - qs0)
-                    for b, p in zip(bufs, parts)]
-            rq_buf = _update_rows(rq_buf, rq_part, qs - qs0)
-            qs += parts[0].shape[0]
-        return bufs, rq_buf, n_rows
+    def init_state(padded: int):
+        return (jnp.full((padded,), jnp.inf, jnp.float32),
+                jnp.zeros((padded,), jnp.int32))
 
-    def sweep_syn(q_bufs: list[Array], rq: Array) -> tuple[Array, Array]:
-        nonlocal s_block
-        run_min = jnp.full((q_bufs[0].shape[0],), jnp.inf, jnp.float32)
-        run_idx = jnp.zeros((q_bufs[0].shape[0],), jnp.int32)
-        ss = 0
-        while ss < n_s:
-            try:
-                s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
-                new_min, new_idx = _fold_block_parts(
-                    run_min, run_idx, q_bufs, rq, s_parts, rs_blk, ss,
-                    jnp.asarray(n_valid), precision)
-            except Exception as e:
-                if not _is_oom(e) or s_block <= 1:
-                    raise
-                s_block = max(1, s_block // 2)
-                print(f"[knn] synthetic stream OOM; s_block={s_block} "
-                      f"(resuming at row {ss})")
-                continue
-            run_min, run_idx = new_min, new_idx
-            ss += n_valid
-        return run_min, run_idx
+    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
+        return _fold_block_parts(state[0], state[1], bufs, rq, s_parts,
+                                 rs_blk, ss, jnp.asarray(n_valid),
+                                 precision)
 
-    row_bytes = _phys_row_bytes(
-        [tuple(p.shape[1:]) for p in probe], jnp.dtype(cdtype).itemsize)
-    chunk_rows = max(q_block,
-                     int(query_cache_bytes // max(1, row_bytes))
-                     // q_block * q_block)
+    def take(state, n_rows: int):
+        return state[0][:n_rows], state[1][:n_rows]
 
-    out_d, out_i = [], []
-    qs0 = 0
-    while qs0 < n_q:
-        end = min(n_q, qs0 + chunk_rows)
-        q_bufs, rq, n_rows = featurize_chunk(qs0, end)
-        d, i = sweep_syn(q_bufs, rq)
-        del q_bufs, rq
-        out_d.append(d[:n_rows])
-        out_i.append(i[:n_rows])
-        qs0 = end
-    if len(out_d) == 1:
-        return out_d[0], out_i[0]
-    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+    return _stream_search(block_norms, probe, queries, syn,
+                          q_block=q_block, s_block=s_block,
+                          query_cache_bytes=query_cache_bytes,
+                          cdtype=cdtype, init_state=init_state, fold=fold,
+                          take=take)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -600,40 +583,23 @@ def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
     block_norms = partial(_parts_block_norms,
                           _fused_parts_norms(embed_fn, cdtype))
 
-    row_bytes = _phys_row_bytes(
-        [tuple(p.shape[1:]) for p in probe], jnp.dtype(cdtype).itemsize)
-    chunk_rows = max(q_block,
-                     int(query_cache_bytes // max(1, row_bytes))
-                     // q_block * q_block)
+    def init_state(padded: int):
+        return (jnp.full((padded, k), jnp.inf, jnp.float32),
+                jnp.zeros((padded, k), jnp.int32))
 
-    out_d, out_i = [], []
-    qs0 = 0
-    while qs0 < n_q:
-        end = min(n_q, qs0 + chunk_rows)
-        n_rows = end - qs0
-        padded = n_rows + (-n_rows) % q_block
-        bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
-                for p in probe]
-        rq = jnp.zeros((padded,), jnp.float32)
-        for qs in range(qs0, end, q_block):
-            parts, rq_part, _ = block_norms(queries, qs, q_block)
-            bufs = [_update_rows(b, p, qs - qs0)
-                    for b, p in zip(bufs, parts)]
-            rq = _update_rows(rq, rq_part, qs - qs0)
-        run_d = jnp.full((padded, k), jnp.inf, jnp.float32)
-        run_i = jnp.zeros((padded, k), jnp.int32)
-        for ss in range(0, n_s, s_block):
-            s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
-            run_d, run_i = _fold_block_topk_parts(
-                run_d, run_i, bufs, rq, s_parts, rs_blk, ss,
-                jnp.asarray(n_valid), k)
-        del bufs, rq
-        out_d.append(run_d[:n_rows])
-        out_i.append(run_i[:n_rows])
-        qs0 = end
-    if len(out_d) == 1:
-        return out_d[0], out_i[0]
-    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
+        return _fold_block_topk_parts(state[0], state[1], bufs, rq,
+                                      s_parts, rs_blk, ss,
+                                      jnp.asarray(n_valid), k)
+
+    def take(state, n_rows: int):
+        return state[0][:n_rows], state[1][:n_rows]
+
+    return _stream_search(block_norms, probe, queries, syn,
+                          q_block=q_block, s_block=s_block,
+                          query_cache_bytes=query_cache_bytes,
+                          cdtype=cdtype, init_state=init_state, fold=fold,
+                          take=take)
 
 
 @partial(jax.jit, static_argnames=("k", "engine"))
@@ -657,10 +623,13 @@ def _fold_block_topk(run_d: Array, run_i: Array, emb_q: Array, rq: Array,
             emb_q, emb_s_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         d = rq[:, None] + rs[None, :] - 2.0 * cross
-    else:
+    elif engine == "exact":
         diff = emb_q[:, None, :].astype(jnp.float32) \
             - emb_s_blk[None, :, :].astype(jnp.float32)
         d = jnp.sum(jnp.square(diff), axis=-1)
+    else:
+        raise ValueError(f"unknown kNN engine {engine!r} "
+                         "(flat fold supports 'gemm'/'exact')")
     local = jnp.arange(emb_s_blk.shape[0])
     d = jnp.where(local[None, :] < n_valid, d, jnp.inf)
     cat_d = jnp.concatenate([run_d, d], axis=1)
@@ -701,6 +670,10 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
     use_pallas = engine == "pallas"
     if use_pallas:
         engine = "gemm"  # same distance math
+    if engine not in ("gemm", "exact"):
+        raise ValueError(f"unknown kNN engine {engine!r}; the flat top-k "
+                         "supports 'gemm'/'pallas'/'exact' ('taps' is "
+                         "knn_topk_streamed_parts)")
     n_q, n_s = queries.shape[0], syn.shape[0]
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
@@ -709,51 +682,36 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
         (1,) + tuple(queries.shape[1:]), queries.dtype))
     demote = _stream_demote(probe.dtype, None)
     cdtype = jnp.bfloat16 if demote else probe.dtype
-    block_norms = partial(_block_norms, _fused_embed_norms(embed_fn, cdtype))
+    block_norms = partial(_flat_block_norms,
+                          _fused_embed_norms(embed_fn, cdtype))
 
-    cache_itemsize = 2 if demote else probe.dtype.itemsize
-    row_bytes = probe.shape[1] * cache_itemsize
-    chunk_rows = max(q_block,
-                     int(query_cache_bytes // max(1, row_bytes))
-                     // q_block * q_block)
+    def init_state(padded: int):
+        return (jnp.full((padded, k), jnp.inf, jnp.float32),
+                jnp.zeros((padded, k), jnp.int32))
 
-    out_d, out_i = [], []
-    qs0 = 0
-    while qs0 < n_q:
-        end = min(n_q, qs0 + chunk_rows)
-        n_rows = end - qs0
-        padded = n_rows + (-n_rows) % q_block
-        emb_q = jnp.zeros((padded, probe.shape[1]), cdtype)
-        rq = jnp.zeros((padded,), jnp.float32)
-        for qs in range(qs0, end, q_block):
-            part, rq_part, _ = block_norms(queries, qs, q_block)
-            emb_q = _update_rows(emb_q, part, qs - qs0)
-            rq = _update_rows(rq, rq_part, qs - qs0)
-        run_d = jnp.full((padded, k), jnp.inf, jnp.float32)
-        run_i = jnp.zeros((padded, k), jnp.int32)
-        for ss in range(0, n_s, s_block):
-            emb_s, rs_blk, n_valid = block_norms(syn, ss, s_block)
-            if use_pallas:
-                from ganleaks_tpu.ops.knn_pallas import knn_topk_pallas
-                if n_valid < s_block:  # kernel masks by row count
-                    emb_s = emb_s[:n_valid]
-                    rs_blk = rs_blk[:n_valid]
-                blk_d, blk_i = knn_topk_pallas(
-                    emb_q, emb_s, k=k, rq=rq, rs=rs_blk,
-                    interpret=jax.default_backend() != "tpu")
-                run_d, run_i = _merge_topk(run_d, run_i, blk_d,
-                                           ss + blk_i, k)
-            else:
-                run_d, run_i = _fold_block_topk(
-                    run_d, run_i, emb_q, rq, emb_s, ss,
-                    jnp.asarray(n_valid), k, engine, rs_blk)
-        del emb_q, rq
-        out_d.append(run_d[:n_rows])
-        out_i.append(run_i[:n_rows])
-        qs0 = end
-    if len(out_d) == 1:
-        return out_d[0], out_i[0]
-    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
+        run_d, run_i = state
+        emb_q, emb_s = bufs[0], s_parts[0]
+        if use_pallas:
+            from ganleaks_tpu.ops.knn_pallas import knn_topk_pallas
+            if n_valid < emb_s.shape[0]:  # kernel masks by row count
+                emb_s = emb_s[:n_valid]
+                rs_blk = rs_blk[:n_valid]
+            blk_d, blk_i = knn_topk_pallas(
+                emb_q, emb_s, k=k, rq=rq, rs=rs_blk,
+                interpret=jax.default_backend() != "tpu")
+            return _merge_topk(run_d, run_i, blk_d, ss + blk_i, k)
+        return _fold_block_topk(run_d, run_i, emb_q, rq, emb_s, ss,
+                                jnp.asarray(n_valid), k, engine, rs_blk)
+
+    def take(state, n_rows: int):
+        return state[0][:n_rows], state[1][:n_rows]
+
+    return _stream_search(block_norms, [probe], queries, syn,
+                          q_block=q_block, s_block=s_block,
+                          query_cache_bytes=query_cache_bytes,
+                          cdtype=cdtype, init_state=init_state, fold=fold,
+                          take=take)
 
 
 def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,

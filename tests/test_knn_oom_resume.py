@@ -117,7 +117,27 @@ def test_query_oom_halves_q_block_keeps_parts(eager_knn):
         "completed query blocks kept; only the failed block re-walked"
 
 
-def test_non_oom_errors_propagate(eager_knn):
+def test_query_oom_non_dividing_halving_no_clamp_corruption(eager_knn):
+    """q_block halving to a size that does NOT divide the remaining span
+    (5 -> 2 over 10 rows) must not overrun the chunk buffer: an uncapped
+    final write would make dynamic_update_slice CLAMP the start index and
+    silently overwrite earlier featurized rows (regression: queries 8/9
+    returned wrong neighbors)."""
+    queries = tagged(10, 1000.0)
+    syn = tagged(32, 0.0)
+    embed = make_embed_fn("l2")
+    ref_d, ref_i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                                       jnp.asarray(syn), s_block=8,
+                                       q_block=5)
+
+    inj = InjectingEmbed(fail_on_calls=(2,))  # rows 5-10 fail -> q_block 2
+    d, i = knn_argmin_streamed(inj, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-6)
+    q_rows = coverage(inj.log, 1000.0, 10)
+    assert sorted(set(q_rows)) == list(range(10)), \
+        "every query row featurized despite the non-dividing halving"
     class Boom:
         def __call__(self, x):
             raise ValueError("not an oom")
