@@ -749,12 +749,18 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
     cand = np.unique(np.asarray(top_i).ravel())
     sub = jnp.take(jnp.asarray(syn), jnp.asarray(cand), axis=0)
     # re-rank always through the XLA gemm at precision='highest' (the
-    # pallas kernel's whole point is bf16 streams — wrong tool here)
+    # pallas kernel's whole point is bf16 streams — wrong tool here).
+    # Blocks/cache shrink for this pass: everything here is f32 (2x the
+    # bytes end to end — cache rows, tower activations, streamed blocks)
+    # and the candidate set is tiny, so small blocks cost ~nothing while
+    # full-size ones put the f32 peak past a 16 GB chip at the default
+    # attack sizes (measured: 2000x20000 two-pass OOMed unrecoverably).
     d, i_sub = knn_argmin_streamed(
         embed_hi, queries, sub, engine="gemm" if engine != "exact"
-        else engine, q_block=q_block,
-        s_block=min(s_block, max(8, len(cand))),
-        query_cache_bytes=query_cache_bytes, precision="highest")
+        else engine, q_block=min(q_block, 1024),
+        s_block=min(s_block, 1024, max(8, len(cand))),
+        query_cache_bytes=min(query_cache_bytes, 2 << 30),
+        precision="highest")
     return d, jnp.asarray(cand, jnp.int32)[i_sub]
 
 
