@@ -91,6 +91,12 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
     """
     logger = logger or MetricsLogger(echo=False)
+    if mesh is not None and cfg.two_pass:
+        # silently dropping the flag would forfeit the exact-f32
+        # guarantee the config asks for — refuse loudly instead
+        raise ValueError("two_pass is not supported with a sharded mesh "
+                         "(n_chips>1) yet; run single-chip or drop "
+                         "two_pass")
     embed = build_embed_fn(cfg)
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77

@@ -380,7 +380,10 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
 
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
-    demote = _stream_demote(probe.dtype, precision)
+    # never demote the 'exact' engine: its elementwise math is the
+    # true-f32 reference-parity path on ANY backend (DIVERGENCES.md) —
+    # the "XLA demotes gemm operands anyway" rationale only covers dots
+    demote = _stream_demote(probe.dtype, precision) and engine != "exact"
     cdtype = jnp.bfloat16 if demote else probe.dtype
     # one fused compiled call per block shape: tower + f32 norms + cast
     # (see _fused_embed_norms — eager norm dispatch OOMs at scale)
@@ -680,7 +683,8 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
 
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
-    demote = _stream_demote(probe.dtype, None)
+    # 'exact' keeps true f32 on any backend (see knn_argmin_streamed)
+    demote = _stream_demote(probe.dtype, None) and engine != "exact"
     cdtype = jnp.bfloat16 if demote else probe.dtype
     block_norms = partial(_flat_block_norms,
                           _fused_embed_norms(embed_fn, cdtype))

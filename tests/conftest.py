@@ -6,6 +6,7 @@ configured before jax initializes, hence the env mutation at import time.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for late importers
 flags = os.environ.get("XLA_FLAGS", "")
@@ -20,15 +21,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persist compiled executables across test runs (big win on the 1-core host)
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_cache",
-                          "jax_compilation")
-os.makedirs(_cache_dir, exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# persist compiled executables across test runs (big win on the 1-core
+# host); one cache-knob implementation lives in cli.common
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from ganleaks_tpu.cli.common import (  # noqa: E402
+    enable_persistent_compilation_cache)
+
+enable_persistent_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".pytest_cache",
+                 "jax_compilation"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

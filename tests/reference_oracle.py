@@ -24,6 +24,7 @@ environment, none of which change the computed numbers:
 
 from __future__ import annotations
 
+import contextlib
 import importlib
 import os
 import sys
@@ -108,30 +109,50 @@ def load_reference_attack():
         sys.modules["skimage.color"] = sk.color  # type: ignore[assignment]
         sys.modules["skimage.transform"] = sk.transform  # type: ignore[assignment]
 
-    # the reference moves tensors with .cuda(); keep them on CPU unchanged
-    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[method-assign]
-    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[method-assign]
-    # vgg.pth stores CUDA-located tensors; dist_model.py:69-75 calls
-    # torch.load without map_location when use_gpu — land them on CPU
+    if REF_ATTACK_DIR not in sys.path:
+        sys.path.insert(0, REF_ATTACK_DIR)
+    with reference_torch_env():
+        ref_utils = importlib.import_module("utils")
+        if not hasattr(ref_utils, "Loss"):  # a different 'utils' won
+            raise ImportError(
+                "top-level module name 'utils' was already taken; "
+                "reference attack_models/utils.py did not import")
+        ref_fbb = importlib.import_module("fbb")
+
+    _loaded = {"fbb": ref_fbb, "utils": ref_utils}
+    return ref_fbb, ref_utils
+
+
+@contextlib.contextmanager
+def reference_torch_env():
+    """Apply the CPU-compat patches ONLY while reference code runs, and
+    restore the real torch API afterwards — a permanent monkeypatch of
+    ``torch.load``/``.cuda`` would leak into unrelated tests in the same
+    pytest process (e.g. converter tests relying on torch.load's real
+    behavior) and make outcomes order-dependent.
+
+    Patches: ``Tensor.cuda``/``Module.cuda`` become no-ops (the reference
+    hardcodes ``use_gpu=True``; on a CUDA-less host the objects stay on
+    CPU, values unchanged) and ``torch.load`` defaults
+    ``map_location='cpu'`` (vgg.pth stores CUDA-located tensors,
+    ``dist_model.py:69-75`` loads without map_location)."""
+    orig_tensor_cuda = torch.Tensor.cuda
+    orig_module_cuda = torch.nn.Module.cuda
     orig_load = torch.load
 
     def _cpu_load(*a, **k):
         k.setdefault("map_location", "cpu")
         return orig_load(*a, **k)
 
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[method-assign]
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[method-assign]
     torch.load = _cpu_load
-
-    if REF_ATTACK_DIR not in sys.path:
-        sys.path.insert(0, REF_ATTACK_DIR)
-    ref_utils = importlib.import_module("utils")
-    if not hasattr(ref_utils, "Loss"):  # a different 'utils' won
-        raise ImportError(
-            "top-level module name 'utils' was already taken; "
-            "reference attack_models/utils.py did not import")
-    ref_fbb = importlib.import_module("fbb")
-
-    _loaded = {"fbb": ref_fbb, "utils": ref_utils}
-    return ref_fbb, ref_utils
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig_tensor_cuda  # type: ignore[method-assign]
+        torch.nn.Module.cuda = orig_module_cuda  # type: ignore[method-assign]
+        torch.load = orig_load
 
 
 def reference_fbb_search(syn: np.ndarray, queries: np.ndarray,
@@ -143,18 +164,20 @@ def reference_fbb_search(syn: np.ndarray, queries: np.ndarray,
     object for reuse across calls (building it re-runs DistModel setup)."""
     fbb, ref_utils = load_reference_attack()
 
-    loss = loss_obj
-    if loss is None:
+    with reference_torch_env():
+        loss = loss_obj
+        if loss is None:
+            with torch.no_grad():
+                loss = ref_utils.Loss(distance)
+        args = types.SimpleNamespace(BATCH_SIZE=batch_size)
+        syn_t = torch.from_numpy(
+            np.ascontiguousarray(syn.transpose(0, 3, 1, 2)))
+        out_d, out_i = [], []
         with torch.no_grad():
-            loss = ref_utils.Loss(distance)
-    args = types.SimpleNamespace(BATCH_SIZE=batch_size)
-    syn_t = torch.from_numpy(
-        np.ascontiguousarray(syn.transpose(0, 3, 1, 2)))
-    out_d, out_i = [], []
-    with torch.no_grad():
-        for q in queries:
-            qt = torch.from_numpy(np.ascontiguousarray(q.transpose(2, 0, 1)))
-            d, i = fbb.custom_knn(syn_t, qt, loss, args)
-            out_d.append(d)
-            out_i.append(i)
+            for q in queries:
+                qt = torch.from_numpy(
+                    np.ascontiguousarray(q.transpose(2, 0, 1)))
+                d, i = fbb.custom_knn(syn_t, qt, loss, args)
+                out_d.append(d)
+                out_i.append(i)
     return np.asarray(out_d), np.asarray(out_i), loss
