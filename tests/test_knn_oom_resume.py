@@ -138,6 +138,9 @@ def test_query_oom_non_dividing_halving_no_clamp_corruption(eager_knn):
     q_rows = coverage(inj.log, 1000.0, 10)
     assert sorted(set(q_rows)) == list(range(10)), \
         "every query row featurized despite the non-dividing halving"
+
+
+def test_non_oom_errors_propagate(eager_knn):
     class Boom:
         def __call__(self, x):
             raise ValueError("not an oom")
@@ -146,6 +149,41 @@ def test_query_oom_non_dividing_halving_no_clamp_corruption(eager_knn):
         knn_argmin_streamed(Boom(), jnp.asarray(tagged(4, 0.0)),
                             jnp.asarray(tagged(8, 100.0)), s_block=4,
                             q_block=4)
+
+
+def test_exact_engine_never_demotes_to_bf16(eager_knn, monkeypatch):
+    """On a TPU backend f32 embeddings stream as bf16 for the gemm engine
+    — but the 'exact' engine is the documented true-f32 parity path and
+    must keep f32 (regression: demotion was applied engine-blind)."""
+    import jax
+
+    seen = []
+
+    class DtypeLogger(InjectingEmbed):
+        def __call__(self, x):
+            out = super().__call__(x)
+            if not isinstance(x, jax.core.Tracer):
+                seen.append(True)
+            return out
+
+    monkeypatch.setattr(knn_mod.jax, "default_backend", lambda: "tpu")
+    assert knn_mod._stream_demote(jnp.float32, None)  # gemm path demotes
+
+    # with engine='exact' the search must run its fold on f32 arrays:
+    # verify by checking the cache dtype the fold receives
+    folded_dtypes = []
+    orig_fold = knn_mod._fold_block
+
+    def spy_fold(run_min, run_idx, emb_q, rq, emb_s, *a, **k):
+        folded_dtypes.append((emb_q.dtype, emb_s.dtype))
+        return orig_fold(run_min, run_idx, emb_q, rq, emb_s, *a, **k)
+
+    monkeypatch.setattr(knn_mod, "_fold_block", spy_fold)
+    knn_argmin_streamed(DtypeLogger(), jnp.asarray(tagged(4, 1000.0)),
+                        jnp.asarray(tagged(8, 0.0)), engine="exact",
+                        s_block=4, q_block=4)
+    assert folded_dtypes and all(
+        qd == jnp.float32 and sd == jnp.float32 for qd, sd in folded_dtypes)
 
 
 def test_oom_at_minimum_block_reraises(eager_knn):
