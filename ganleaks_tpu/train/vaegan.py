@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+from flax.core import FrozenDict
 
 from ganleaks_tpu.config import VAEGANConfig
 from ganleaks_tpu.io.artifacts import check_folder, dump_params
@@ -61,8 +62,12 @@ def _apply_mut(ms: ModelState, *args, **kwargs):
                            mutable=["batch_stats", "spectral"], **kwargs)
     new = ms.replace(
         batch_stats=mut.get("batch_stats", ms.batch_stats),
-        extra={**dict(ms.extra),
-               **({"spectral": mut["spectral"]} if "spectral" in mut else {})})
+        # FrozenDict, matching ModelState.create — a plain dict here is a
+        # different pytree node type and silently RETRACES the whole jitted
+        # step on its second call (measured: a hidden 5.8 s recompile)
+        extra=FrozenDict(
+            {**dict(ms.extra),
+             **({"spectral": mut["spectral"]} if "spectral" in mut else {})}))
     return out, new
 
 
@@ -116,7 +121,7 @@ def vaegan_train_step(state: VAEGANState, real_dl: Array, real_d1: Array,
         (loss_d, spec), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(disc.params)
         disc = disc.apply_gradients(d_grads).replace(
-            extra={**dict(disc.extra), "spectral": spec})
+            extra=FrozenDict({**dict(disc.extra), "spectral": spec}))
 
     # ---------- (3) G & E step (train.py:359-385) ----------
     def ge_loss_fn(g_params, e_params):
@@ -142,7 +147,8 @@ def vaegan_train_step(state: VAEGANState, real_dl: Array, real_d1: Array,
         ge_loss_fn, has_aux=True, argnums=(0, 1))(gen.params, enc.params)
     gen = gen.apply_gradients(g_grads).replace(
         batch_stats=gmut["batch_stats"],
-        extra={**dict(gen.extra), "spectral": gmut["spectral"]})
+        extra=FrozenDict({**dict(gen.extra),
+                          "spectral": gmut["spectral"]}))
     enc = enc.apply_gradients(e_grads)
 
     new = state.replace(step=state.step + 1, enc=enc, gen=gen, disc=disc,
