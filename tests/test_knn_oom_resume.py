@@ -186,6 +186,29 @@ def test_exact_engine_never_demotes_to_bf16(eager_knn, monkeypatch):
         qd == jnp.float32 and sd == jnp.float32 for qd, sd in folded_dtypes)
 
 
+def test_topk_oom_resumes_like_argmin(eager_knn):
+    """The unified streaming driver gives the top-k variants the same
+    OOM-halving resume as argmin: inject a synthetic-stream OOM during
+    knn_topk_streamed and assert identical results + no row recomputed."""
+    from ganleaks_tpu.ops.knn import knn_topk_streamed
+
+    queries = tagged(4, 1000.0)
+    syn = tagged(32, 0.0)
+    embed = make_embed_fn("l2")
+    ref_d, ref_i = knn_topk_streamed(embed, jnp.asarray(queries),
+                                     jnp.asarray(syn), k=3, s_block=8,
+                                     q_block=4)
+
+    inj = InjectingEmbed(fail_on_calls=(4,))  # 3rd syn block raises
+    d, i = knn_topk_streamed(inj, jnp.asarray(queries), jnp.asarray(syn),
+                             k=3, s_block=8, q_block=4)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref_d), rtol=1e-6)
+    syn_rows = coverage(inj.log, 0.0, 32)
+    assert sorted(syn_rows) == list(range(32)), \
+        "top-k sweep resumed without recomputing completed blocks"
+
+
 def test_oom_at_minimum_block_reraises(eager_knn):
     embed = InjectingEmbed(fail_on_calls=set(range(1, 50)))
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
