@@ -47,3 +47,76 @@ def test_graft_entry_single_and_multichip():
     d, i = out
     assert d.shape == i.shape
     g.dryrun_multichip(8)
+
+
+def test_acquire_devices_health_probe():
+    """MULTICHIP_r02 regression: a backend whose devices ENUMERATE but
+    cannot COMPUTE (libtpu client/terminal skew) must be skipped, and the
+    next candidate platform probed."""
+    import __graft_entry__ as g
+
+    # broken everywhere -> no devices, caller falls back to subprocess
+    assert g._acquire_devices(8, probe=lambda d: False) is None
+    # platform that raises on enumeration is skipped (r01 regression)
+    assert g._acquire_devices(8, platforms=("nonexistent-platform",)) is None
+    # first platform broken-at-compute, second healthy -> second wins
+    calls = []
+
+    def probe(dev):
+        calls.append(dev.platform)
+        return len(calls) > 1
+
+    devs = g._acquire_devices(8, probe=probe, platforms=(None, "cpu"))
+    assert devs is not None and len(devs) == 8
+    assert len(calls) == 2
+    # the real probe runs an actual computation and passes on this host
+    assert g._probe_device(jax.devices()[0])
+
+
+def test_dryrun_pins_default_device(monkeypatch):
+    """MULTICHIP_r02 regression: eager ops inside the dryrun body must be
+    committed to the ACQUIRED mesh's platform, not whatever the process
+    default backend happens to be. Simulated by setting the global default
+    device to a different device than the acquired mesh's first and
+    checking the body observes the pinned one."""
+    import __graft_entry__ as g
+
+    devices = jax.devices()[:8]
+    seen = {}
+
+    def fake_body(devs, n):
+        # an uncommitted eager op — lands on the effective default device
+        seen["dev"] = next(iter(jnp.zeros(()).devices()))
+
+    monkeypatch.setattr(g, "_dryrun_on_devices", fake_body)
+    monkeypatch.setattr(g, "_acquire_devices",
+                        lambda n, **kw: devices)
+    with jax.default_device(devices[3]):  # hostile ambient default
+        g.dryrun_multichip(8)
+    assert seen["dev"] == devices[0]
+
+
+def test_dryrun_falls_back_to_subprocess_on_body_failure(monkeypatch):
+    """If the in-process dryrun dies for ANY reason, the last resort is the
+    CPU-mesh subprocess — unless we already are that subprocess, in which
+    case the failure must propagate (no recursion)."""
+    import __graft_entry__ as g
+
+    def boom(devs, n):
+        raise RuntimeError("synthetic backend failure")
+
+    called = {}
+    monkeypatch.setattr(g, "_dryrun_on_devices", boom)
+    monkeypatch.setattr(g, "_reexec_on_cpu_mesh",
+                        lambda n: called.setdefault("n", n))
+    monkeypatch.delenv(g._SUBPROC_ENV, raising=False)
+    g.dryrun_multichip(8)
+    assert called["n"] == 8
+
+    monkeypatch.setenv(g._SUBPROC_ENV, "1")
+    try:
+        g.dryrun_multichip(8)
+    except RuntimeError as e:
+        assert "synthetic backend failure" in str(e)
+    else:
+        raise AssertionError("subprocess-mode failure must propagate")
