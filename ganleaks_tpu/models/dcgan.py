@@ -33,22 +33,35 @@ Array = jax.Array
 W02 = normal_init(0.02)
 
 
+def _n_mid_blocks(image_size: int) -> int:
+    """Stride-2 stages between the 4x4 base and the final doubling layer.
+
+    The reference is hardwired to 64x64 (3 mid blocks); other powers of two
+    >= 8 follow the same doubling/halving schedule — used by the tiny dryrun
+    variants, default unchanged."""
+    n = (image_size // 8).bit_length() - 1
+    if image_size != 8 * 2 ** n:
+        raise ValueError(f"image_size must be a power of 2 >= 8, "
+                         f"got {image_size}")
+    return n
+
+
 class Generator(nn.Module):
     """``Generator(z_dim, channels_img, features_g)`` (``model_torch.py:75-96``)."""
 
     nz: int = 100
     nc: int = 3
     ngf: int = 64
+    image_size: int = 64
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
         x = z.reshape(z.shape[0], 1, 1, self.nz)
-        specs = [  # (features, stride, padding) — model_torch.py:78-86
-            (self.ngf * 16, 1, 0),  # 4x4
-            (self.ngf * 8, 2, 1),   # 8x8
-            (self.ngf * 4, 2, 1),   # 16x16
-            (self.ngf * 2, 2, 1),   # 32x32
-        ]
+        n_mid = _n_mid_blocks(self.image_size)
+        # (features, stride, padding) — model_torch.py:78-86: 4x4 base at
+        # ngf*16, then halving feature counts while doubling resolution
+        specs = [(self.ngf * 2 ** (n_mid + 1), 1, 0)]
+        specs += [(self.ngf * 2 ** (n_mid - k), 2, 1) for k in range(n_mid)]
         for i, (feat, stride, pad) in enumerate(specs):
             x = ConvTranspose2dTorch(feat, 4, stride, pad, use_bias=False,
                                      kernel_init=W02, name=f"block{i}_conv")(x)
@@ -56,7 +69,7 @@ class Generator(nn.Module):
                                name=f"block{i}")(x, use_running_average=not train)
             x = nn.relu(x)
         x = ConvTranspose2dTorch(self.nc, 4, 2, 1, kernel_init=W02,
-                                 name="to_img")(x)  # 64x64
+                                 name="to_img")(x)  # image_size
         return jnp.tanh(x)
 
 
@@ -64,14 +77,17 @@ class Discriminator(nn.Module):
     """``Discriminator(channel_img, feature_d)`` (``model_torch.py:25-47``)."""
 
     ndf: int = 64
+    image_size: int = 64
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False,
                  sigmoid: bool = False) -> Array:
         x = Conv2dTorch(self.ndf, 4, 2, 1, kernel_init=W02,
-                        name="from_img")(x)  # 32x32
+                        name="from_img")(x)  # image_size/2
         x = leaky_relu(x, 0.2)
-        for i, mult in enumerate((2, 4, 8)):
+        mults = tuple(2 ** k for k in
+                      range(1, _n_mid_blocks(self.image_size) + 1))
+        for i, mult in enumerate(mults):
             x = Conv2dTorch(self.ndf * mult, 4, 2, 1, use_bias=False,
                             kernel_init=W02, name=f"block{i}_conv")(x)
             x = BatchNormTorch(scale_init=W02,
@@ -91,13 +107,16 @@ class PrivateDiscriminator(nn.Module):
 
     ndf: int = 64
     n_splits: int = 2
+    image_size: int = 64
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = Conv2dTorch(self.ndf, 4, 2, 1, kernel_init=W02,
                         name="from_img")(x)
         x = leaky_relu(x, 0.2)
-        for i, mult in enumerate((2, 4, 8)):
+        mults = tuple(2 ** k for k in
+                      range(1, _n_mid_blocks(self.image_size) + 1))
+        for i, mult in enumerate(mults):
             x = Conv2dTorch(self.ndf * mult, 4, 2, 1, use_bias=False,
                             kernel_init=W02, name=f"block{i}_conv")(x)
             x = BatchNormTorch(scale_init=W02,

@@ -34,8 +34,9 @@ def resolve_grid_dir(cfg) -> str | None:
 
 
 def build_state(cfg: DCGANConfig, key: jax.Array) -> GANState:
-    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
-    disc = Discriminator(ndf=cfg.ndf)
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf,
+                    image_size=cfg.image_size)
+    disc = Discriminator(ndf=cfg.ndf, image_size=cfg.image_size)
     kg, kd = jax.random.split(key)
     gv = gen.init(kg, jnp.zeros((1, cfg.nz)), train=True)
     dv = disc.init(kd, jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.nc)),
@@ -63,7 +64,7 @@ def train(cfg: DCGANConfig, images: np.ndarray | None = None,
     step_key = jax.random.fold_in(key, 1)
     # fixed noise for the per-epoch sample grid (train_torch.py:125-127)
     grid_z = jax.random.normal(jax.random.fold_in(key, 3), (64, cfg.nz))
-    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf)
+    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf, cfg.image_size)
     for epoch in range(cfg.num_epochs):
         for batch in ds.epoch(cfg.batch_size):
             step_key = jax.random.fold_in(step_key, 1)
@@ -95,7 +96,8 @@ def load_generator_variables(cfg: DCGANConfig, model_dir: str) -> dict:
     (``train_torch.py:146-148``)."""
     from ganleaks_tpu.utils.checkpoint import load_state
 
-    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf,
+                    image_size=cfg.image_size)
     template = gen.init(jax.random.key(0), jnp.zeros((1, cfg.nz)),
                         train=True)
     return load_state(os.path.join(model_dir, "generator.msgpack"),
@@ -125,10 +127,10 @@ def _log_sample_grid(logger: MetricsLogger, sample_fn, variables,
 
 
 @functools.lru_cache(maxsize=16)
-def _sample_fn(nz: int, nc: int, ngf: int):
+def _sample_fn(nz: int, nc: int, ngf: int, image_size: int = 64):
     """Stable per-architecture sampler so _build_sampler's compile cache
     hits across generate() calls (a fresh lambda would defeat it)."""
-    gen = Generator(nz=nz, nc=nc, ngf=ngf)
+    gen = Generator(nz=nz, nc=nc, ngf=ngf, image_size=image_size)
     return lambda v, z: gen.apply(v, z, train=False)
 
 
@@ -137,7 +139,8 @@ def generate(cfg: DCGANConfig, state: GANState | None = None,
              variables: dict | None = None) -> dict[str, str]:
     """Sample ``num_generated`` images and write the reference artifact
     triplet (``train_torch.py:152-174``)."""
-    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
+    gen = Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf,
+                    image_size=cfg.image_size)
     if variables is None:
         if state is None:
             assert cfg.saved_model_name, "need a trained state or saved model"
@@ -145,7 +148,7 @@ def generate(cfg: DCGANConfig, state: GANState | None = None,
         else:
             variables = {"params": state.gen.params,
                          "batch_stats": state.gen.batch_stats}
-    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf)
+    sample_fn = _sample_fn(cfg.nz, cfg.nc, cfg.ngf, cfg.image_size)
     key = jax.random.fold_in(jax.random.key(cfg.seed), 2)
     batch = min(cfg.num_generated, 512)
     noise, imgs01 = sample_to_host(sample_fn, variables, cfg.num_generated,

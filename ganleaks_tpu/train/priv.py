@@ -194,10 +194,12 @@ def privdcgan_train_step(state: PrivGANState, real: Array, rng: Array,
 
 def build_privdcgan_state(cfg: DCGANConfig, priv_cfg: PrivGANConfig,
                           key: Array) -> PrivGANState:
-    gen = dcgan_m.Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf)
-    disc = dcgan_m.Discriminator(ndf=cfg.ndf)
+    gen = dcgan_m.Generator(nz=cfg.nz, nc=cfg.nc, ngf=cfg.ngf,
+                            image_size=cfg.image_size)
+    disc = dcgan_m.Discriminator(ndf=cfg.ndf, image_size=cfg.image_size)
     priv = dcgan_m.PrivateDiscriminator(ndf=cfg.ndf,
-                                        n_splits=priv_cfg.N_splits)
+                                        n_splits=priv_cfg.N_splits,
+                                        image_size=cfg.image_size)
     kg, kd, kp = jax.random.split(key, 3)
     img = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.nc))
     gv = stack_init(gen, kg, priv_cfg.N_splits, jnp.zeros((1, cfg.nz)))
