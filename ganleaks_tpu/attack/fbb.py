@@ -91,12 +91,6 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
     """
     logger = logger or MetricsLogger(echo=False)
-    if mesh is not None and cfg.two_pass:
-        # silently dropping the flag would forfeit the exact-f32
-        # guarantee the config asks for — refuse loudly instead
-        raise ValueError("two_pass is not supported with a sharded mesh "
-                         "(n_chips>1) yet; run single-chip or drop "
-                         "two_pass")
     embed = build_embed_fn(cfg)
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77
@@ -107,18 +101,40 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
 
     def search(queries: np.ndarray):
         q_j = jnp.asarray(queries)
-        if mesh is not None:
+        if mesh is not None and cfg.shard_layout == "ring":
+            from ganleaks_tpu.parallel.knn_shard import knn_argmin_ring
+            # ring is the >HBM layout (both sets sharded, ppermute
+            # rotation); it runs on flat embeddings — 'taps' maps to the
+            # same gemm math there
+            d, i = knn_argmin_ring(
+                embed, q_j, syn_j, mesh,
+                engine="gemm" if cfg.engine == "taps" else cfg.engine,
+                q_block=cfg.query_block, s_block=cfg.syn_block)
+        elif mesh is not None and cfg.two_pass:
+            # sharded streamed pass 1, replicated exact re-rank, runtime
+            # exactness certificate (parallel/knn_shard)
             from ganleaks_tpu.parallel.knn_shard import (
-                knn_argmin_ring, knn_argmin_sharded)
-            shard_fn = (knn_argmin_ring if cfg.shard_layout == "ring"
-                        else knn_argmin_sharded)
-            # the sharded paths run on flat embeddings; 'taps' is the
-            # single-device layout optimization — same math as gemm
-            shard_engine = "gemm" if cfg.engine == "taps" else cfg.engine
-            d, i = shard_fn(embed, q_j, syn_j, mesh,
-                            engine=shard_engine,
-                            q_block=cfg.query_block,
-                            s_block=cfg.syn_block)
+                knn_argmin_two_pass_mesh)
+            lo_cfg = replace(cfg, dtype="bfloat16",
+                             lpips_compute_dtype="bfloat16")
+            hi_cfg = replace(cfg, dtype="float32",
+                             lpips_compute_dtype=None)
+            d, i = knn_argmin_two_pass_mesh(
+                build_embed_fn(lo_cfg, structured=cfg.engine == "taps"),
+                build_embed_fn(hi_cfg), q_j, syn_j, mesh,
+                k=cfg.two_pass_k, engine=cfg.engine,
+                q_block=cfg.query_block, s_block=cfg.syn_block)
+        elif mesh is not None:
+            # mesh at single-chip engine parity: each chip featurizes only
+            # its shard, chunked replicated query cache, bf16 streams,
+            # OOM resume; 'taps' keeps its structured parts per shard
+            from ganleaks_tpu.parallel.knn_shard import (
+                knn_argmin_sharded_streamed)
+            emb = (build_embed_fn(cfg, structured=True)
+                   if cfg.engine == "taps" else embed)
+            d, i = knn_argmin_sharded_streamed(
+                emb, q_j, syn_j, mesh, engine=cfg.engine,
+                q_block=cfg.query_block, s_block=cfg.syn_block)
         elif cfg.two_pass:
             # exact-index throughput mode: bf16 tower candidates + f32
             # re-rank at precision='highest' (ops/knn.knn_argmin_two_pass);

@@ -189,13 +189,40 @@ def _jit_cached(fn):
     return d["_ganleaks_jit"]
 
 
+_BOUND_METHOD_CACHES: dict = {}
+
+
 def _fused_cache_for(embed_fn) -> dict:
     """Per-dtype cache of fused wrappers, stored on ``embed_fn`` so it is
-    garbage-collected with it (see :func:`_jit_cached`)."""
+    garbage-collected with it (see :func:`_jit_cached`).
+
+    Bound methods have no ``__dict__`` (a fresh method object per
+    attribute access); for those the cache keys on (underlying function,
+    instance id) in a module table, with a finalizer evicting the entry —
+    and its compiled towers — when the instance dies. Otherwise a fresh
+    throwaway dict would silently recompile the full tower every search
+    call (~40s apiece on remote-compile backends). Other exotic callables
+    without ``__dict__`` still get the throwaway dict: pass a plain
+    function/closure (or ``functools.partial``) for caching."""
+    import weakref
+
     try:
         return embed_fn.__dict__.setdefault("_ganleaks_fused", {})
     except AttributeError:
-        return {}
+        pass
+    self_ = getattr(embed_fn, "__self__", None)
+    func = getattr(embed_fn, "__func__", None)
+    if self_ is not None and func is not None:
+        key = (func, id(self_))
+        entry = _BOUND_METHOD_CACHES.get(key)
+        if entry is None:
+            entry = _BOUND_METHOD_CACHES[key] = {}
+            try:
+                weakref.finalize(self_, _BOUND_METHOD_CACHES.pop, key, None)
+            except TypeError:
+                pass  # instance not weakref-able: entry lives forever
+        return entry
+    return {}
 
 
 def _fused_embed_norms(embed_fn, cdtype):
@@ -394,20 +421,35 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
         return (jnp.full((padded,), jnp.inf, jnp.float32),
                 jnp.zeros((padded,), jnp.int32))
 
+    flags = {"pallas": pallas}
+
     def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
         run_min, run_idx = state
         emb_q, emb_s = bufs[0], s_parts[0]
-        if pallas and engine == "gemm":
+        if flags["pallas"] and engine == "gemm":
             from ganleaks_tpu.ops.knn_pallas import knn_argmin_pallas
             if n_valid < emb_s.shape[0]:  # kernel masks by row count
-                emb_s = emb_s[:n_valid]
-                rs_blk = rs_blk[:n_valid]
-            d_blk, i_blk = knn_argmin_pallas(
-                emb_q, emb_s, rq=rq, rs=rs_blk,
-                interpret=jax.default_backend() != "tpu")
-            better = d_blk < run_min  # in-order: first index kept
-            return (jnp.where(better, d_blk, run_min),
-                    jnp.where(better, ss + i_blk, run_idx))
+                emb_s_k = emb_s[:n_valid]
+                rs_k = rs_blk[:n_valid]
+            else:
+                emb_s_k, rs_k = emb_s, rs_blk
+            try:
+                d_blk, i_blk = knn_argmin_pallas(
+                    emb_q, emb_s_k, rq=rq, rs=rs_k,
+                    interpret=jax.default_backend() != "tpu")
+            except Exception as e:
+                # device OOM -> the streaming driver's halving resume;
+                # anything else (e.g. a Mosaic VMEM refusal on a
+                # small-VMEM generation) -> XLA gemm fold, same math
+                if _is_oom(e):
+                    raise
+                print(f"[knn] pallas kernel unavailable "
+                      f"({type(e).__name__}); using the XLA gemm fold")
+                flags["pallas"] = False
+            else:
+                better = d_blk < run_min  # in-order: first index kept
+                return (jnp.where(better, d_blk, run_min),
+                        jnp.where(better, ss + i_blk, run_idx))
         return _fold_block(run_min, run_idx, emb_q, rq, emb_s, ss,
                            jnp.asarray(n_valid), engine, precision, rs_blk)
 
@@ -566,15 +608,46 @@ def _fold_block_topk_parts(run_d: Array, run_i: Array, q_parts: list[Array],
     return -neg_top, jnp.take_along_axis(cat_i, pos, axis=1)
 
 
+def _topk_state_hooks(fold_one, k: int, with_info: bool):
+    """init/fold/take hooks for the streamed top-k searches. With
+    ``with_info`` the state additionally carries the per-query f32 norms
+    (``rq``) and the running max synthetic norm (``rs_max``) — the inputs
+    of the two-pass exactness certificate (:func:`two_pass_certificate`)."""
+    def init_state(padded: int):
+        base = (jnp.full((padded, k), jnp.inf, jnp.float32),
+                jnp.zeros((padded, k), jnp.int32))
+        if with_info:
+            base += (jnp.zeros((padded,), jnp.float32),
+                     jnp.zeros((), jnp.float32))
+        return base
+
+    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
+        d, i = fold_one(state[0], state[1], bufs, rq, s_parts, rs_blk, ss,
+                        n_valid)
+        if with_info:
+            # padded synthetic rows are zeros -> rs 0, never inflate max
+            return d, i, rq, jnp.maximum(state[3], jnp.max(rs_blk))
+        return d, i
+
+    def take(state, n_rows: int):
+        out = (state[0][:n_rows], state[1][:n_rows])
+        if with_info:
+            out += (state[2][:n_rows], state[3][None])
+        return out
+
+    return init_state, fold, take
+
+
 def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
                             k: int = 8, q_block: int = 2048,
                             s_block: int = 2048,
-                            query_cache_bytes: int = 4 << 30
-                            ) -> tuple[Array, Array]:
+                            query_cache_bytes: int = 4 << 30,
+                            with_info: bool = False):
     """Per-query k smallest distances + indices over a STRUCTURED
     embedding (parts list) — the top-k analog of
     :func:`knn_argmin_streamed_parts`, used as pass 1 of the two-pass
-    exact-index mode with ``engine='taps'``."""
+    exact-index mode with ``engine='taps'``. ``with_info`` appends
+    ``(rq, rs_max)`` for the exactness certificate."""
     n_q, n_s = queries.shape[0], syn.shape[0]
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
@@ -586,18 +659,11 @@ def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
     block_norms = partial(_parts_block_norms,
                           _fused_parts_norms(embed_fn, cdtype))
 
-    def init_state(padded: int):
-        return (jnp.full((padded, k), jnp.inf, jnp.float32),
-                jnp.zeros((padded, k), jnp.int32))
+    def fold_one(run_d, run_i, bufs, rq, s_parts, rs_blk, ss, n_valid):
+        return _fold_block_topk_parts(run_d, run_i, bufs, rq, s_parts,
+                                      rs_blk, ss, jnp.asarray(n_valid), k)
 
-    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
-        return _fold_block_topk_parts(state[0], state[1], bufs, rq,
-                                      s_parts, rs_blk, ss,
-                                      jnp.asarray(n_valid), k)
-
-    def take(state, n_rows: int):
-        return state[0][:n_rows], state[1][:n_rows]
-
+    init_state, fold, take = _topk_state_hooks(fold_one, k, with_info)
     return _stream_search(block_norms, probe, queries, syn,
                           q_block=q_block, s_block=s_block,
                           query_cache_bytes=query_cache_bytes,
@@ -658,8 +724,8 @@ def _merge_topk(run_d: Array, run_i: Array, blk_d: Array, blk_i: Array,
 def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                       engine: str = "gemm", q_block: int = 2048,
                       s_block: int = 2048,
-                      query_cache_bytes: int = 4 << 30
-                      ) -> tuple[Array, Array]:
+                      query_cache_bytes: int = 4 << 30,
+                      with_info: bool = False):
     """Per-query k smallest distances + their indices, streamed like
     :func:`knn_argmin_streamed` (embeddings produced block by block,
     queries featurized in the largest chunks that fit
@@ -689,28 +755,33 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
     block_norms = partial(_flat_block_norms,
                           _fused_embed_norms(embed_fn, cdtype))
 
-    def init_state(padded: int):
-        return (jnp.full((padded, k), jnp.inf, jnp.float32),
-                jnp.zeros((padded, k), jnp.int32))
+    flags = {"pallas": use_pallas}
 
-    def fold(state, bufs, rq, s_parts, rs_blk, ss, n_valid):
-        run_d, run_i = state
+    def fold_one(run_d, run_i, bufs, rq, s_parts, rs_blk, ss, n_valid):
         emb_q, emb_s = bufs[0], s_parts[0]
-        if use_pallas:
+        if flags["pallas"]:
             from ganleaks_tpu.ops.knn_pallas import knn_topk_pallas
             if n_valid < emb_s.shape[0]:  # kernel masks by row count
-                emb_s = emb_s[:n_valid]
-                rs_blk = rs_blk[:n_valid]
-            blk_d, blk_i = knn_topk_pallas(
-                emb_q, emb_s, k=k, rq=rq, rs=rs_blk,
-                interpret=jax.default_backend() != "tpu")
-            return _merge_topk(run_d, run_i, blk_d, ss + blk_i, k)
+                emb_s_k = emb_s[:n_valid]
+                rs_blk_k = rs_blk[:n_valid]
+            else:
+                emb_s_k, rs_blk_k = emb_s, rs_blk
+            try:
+                blk_d, blk_i = knn_topk_pallas(
+                    emb_q, emb_s_k, k=k, rq=rq, rs=rs_blk_k,
+                    interpret=jax.default_backend() != "tpu")
+            except Exception as e:
+                if _is_oom(e):  # let the streaming driver halve blocks
+                    raise
+                print(f"[knn] pallas top-k kernel unavailable "
+                      f"({type(e).__name__}); using the XLA top-k fold")
+                flags["pallas"] = False
+            else:
+                return _merge_topk(run_d, run_i, blk_d, ss + blk_i, k)
         return _fold_block_topk(run_d, run_i, emb_q, rq, emb_s, ss,
                                 jnp.asarray(n_valid), k, engine, rs_blk)
 
-    def take(state, n_rows: int):
-        return state[0][:n_rows], state[1][:n_rows]
-
+    init_state, fold, take = _topk_state_hooks(fold_one, k, with_info)
     return _stream_search(block_norms, [probe], queries, syn,
                           q_block=q_block, s_block=s_block,
                           query_cache_bytes=query_cache_bytes,
@@ -718,54 +789,134 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                           take=take)
 
 
-def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
-                        k: int = 8, engine: str = "gemm",
-                        q_block: int = 2048, s_block: int = 2048,
-                        query_cache_bytes: int = 4 << 30
-                        ) -> tuple[Array, Array]:
-    """Throughput mode with exact-index re-ranking.
+def two_pass_certificate(d_exact: np.ndarray, topk_d: np.ndarray,
+                         rq: np.ndarray, rs_max: float,
+                         eta: float) -> np.ndarray:
+    """Per-query certificate that the two-pass result equals the full
+    exact search. Returns a boolean mask (True = certified).
 
-    Pass 1 finds each query's top-``k`` candidates under the cheap
-    embedding (``embed_lo``, e.g. a bf16 LPIPS tower at MXU-native rate);
-    pass 2 re-runs the exact search (``embed_hi``, the reference-parity
-    f32 path) restricted to the UNION of all candidates — so the result
-    indices/distances equal the full f32 search whenever each query's true
-    nearest neighbor lands anywhere in the candidate union (a strictly
-    weaker requirement than being in its own top-k). Distances returned
-    are always the exact f32 values: the re-rank gemm runs at
-    ``precision='highest'`` (on TPU the DEFAULT matmul precision computes
-    f32 cross terms with bf16 multiplies — not exact; the candidate set is
-    tiny, so the 3.3x-slower true-f32 path costs nothing here).
+    Model: the pass-1 embedding of any row x differs from the exact
+    embedding by at most ``eta * ||phi(x)||`` in L2 (bf16 tower + bf16
+    stream + default-precision gemm). Then for every (q, s) pair
 
-    Replaces the precision/parity trade of running ``fbb.py:73-88``'s
-    distance entirely in reduced precision: same throughput, exact
-    indices.
+        |d_lo(q, s) - d(q, s)| <= eps_q
+            := eta * (2 + eta) * (||phi(q)|| + max_s ||phi(s)||)^2,
+
+    so any synthetic row OUTSIDE the candidate union (its approx distance
+    >= the query's k-th kept approx distance ``topk_max``) has true
+    distance >= topk_max - eps_q. The re-ranked winner is certified exact
+    — including the first-index tie-break — iff its exact distance is
+    STRICTLY below that bound (non-strict could mean an equal-distance,
+    lower-index row outside the union). ``topk_max = inf`` (fewer than k
+    valid rows: every row was a candidate) certifies trivially.
+
+    ``eta`` is the one modeling assumption; the gemm/stream part of it is
+    rigorous (bf16 unit roundoff), the tower part is empirical — measured
+    bf16-vs-f32 LPIPS embedding error is ~2e-3 relative, so the 2e-2
+    default used for demoted streams carries a 10x margin. Queries that
+    fail fall back to the full f32 search (see callers), so a too-small
+    eta costs correctness nothing — it only spends more fallback work.
     """
-    if engine == "taps":
-        # embed_lo must be the structured (parts) featurizer
-        _, top_i = knn_topk_streamed_parts(
-            embed_lo, queries, syn, k=k, q_block=q_block,
-            s_block=s_block, query_cache_bytes=query_cache_bytes)
-    else:
-        _, top_i = knn_topk_streamed(
-            embed_lo, queries, syn, k=k, engine=engine, q_block=q_block,
-            s_block=s_block, query_cache_bytes=query_cache_bytes)
-    cand = np.unique(np.asarray(top_i).ravel())
+    rq = np.maximum(np.asarray(rq, np.float64), 0.0)
+    topk_max = np.asarray(topk_d, np.float64)[:, -1]
+    eps = eta * (2.0 + eta) * np.square(
+        np.sqrt(rq) + np.sqrt(max(float(rs_max), 0.0)))
+    return ~np.isfinite(topk_max) | (np.asarray(d_exact, np.float64)
+                                     < topk_max - eps)
+
+
+def _default_cert_eta(demoted: bool) -> float:
+    """2e-2 when pass 1 streamed bf16 (tower error ~2e-3 measured, 10x
+    margin); 1e-6 when pass 1 was full f32 (accumulation-order noise)."""
+    return 2e-2 if demoted else 1e-6
+
+
+def _rerank_candidates(embed_hi, queries: Array, syn, cand: np.ndarray, *,
+                       engine: str, q_block: int, s_block: int,
+                       query_cache_bytes: int) -> tuple[Array, Array]:
+    """Exact re-rank restricted to the candidate union. Always the XLA
+    gemm at ``precision='highest'`` (the pallas kernel's whole point is
+    bf16 streams — wrong tool here). Blocks/cache shrink: everything here
+    is f32 (2x the bytes end to end) and the candidate set is tiny, so
+    small blocks cost ~nothing while full-size ones put the f32 peak past
+    a 16 GB chip at the default attack sizes (measured: 2000x20000
+    two-pass OOMed unrecoverably)."""
     sub = jnp.take(jnp.asarray(syn), jnp.asarray(cand), axis=0)
-    # re-rank always through the XLA gemm at precision='highest' (the
-    # pallas kernel's whole point is bf16 streams — wrong tool here).
-    # Blocks/cache shrink for this pass: everything here is f32 (2x the
-    # bytes end to end — cache rows, tower activations, streamed blocks)
-    # and the candidate set is tiny, so small blocks cost ~nothing while
-    # full-size ones put the f32 peak past a 16 GB chip at the default
-    # attack sizes (measured: 2000x20000 two-pass OOMed unrecoverably).
     d, i_sub = knn_argmin_streamed(
-        embed_hi, queries, sub, engine="gemm" if engine != "exact"
-        else engine, q_block=min(q_block, 1024),
+        embed_hi, queries, sub,
+        engine="gemm" if engine != "exact" else engine,
+        q_block=min(q_block, 1024),
         s_block=min(s_block, 1024, max(8, len(cand))),
         query_cache_bytes=min(query_cache_bytes, 2 << 30),
         precision="highest")
     return d, jnp.asarray(cand, jnp.int32)[i_sub]
+
+
+def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
+                        k: int = 8, engine: str = "gemm",
+                        q_block: int = 2048, s_block: int = 2048,
+                        query_cache_bytes: int = 4 << 30,
+                        cert_eta: float | None = None,
+                        return_cert: bool = False):
+    """Throughput mode with exact-index re-ranking and a runtime
+    exactness certificate.
+
+    Pass 1 finds each query's top-``k`` candidates under the cheap
+    embedding (``embed_lo``, e.g. a bf16 LPIPS tower at MXU-native rate);
+    pass 2 re-runs the exact search (``embed_hi``, the reference-parity
+    f32 path) restricted to the UNION of all candidates, at
+    ``precision='highest'`` so returned distances are true f32. The
+    result equals the full f32 search whenever each query's true nearest
+    neighbor lands in the candidate union; :func:`two_pass_certificate`
+    CHECKS that per query from pass-1 norms, and uncertified queries are
+    re-searched against the FULL synthetic set in f32 — so the returned
+    indices are exact under the (documented, 10x-margined) eta error
+    model rather than by unchecked assumption.
+
+    Replaces the precision/parity trade of running ``fbb.py:73-88``'s
+    distance entirely in reduced precision: same throughput, exact
+    indices. ``return_cert=True`` appends (certified_mask, n_fallback).
+    """
+    if engine == "taps":
+        # embed_lo must be the structured (parts) featurizer
+        topk_d, top_i, rq, rs_max = knn_topk_streamed_parts(
+            embed_lo, queries, syn, k=k, q_block=q_block,
+            s_block=s_block, query_cache_bytes=query_cache_bytes,
+            with_info=True)
+    else:
+        topk_d, top_i, rq, rs_max = knn_topk_streamed(
+            embed_lo, queries, syn, k=k, engine=engine, q_block=q_block,
+            s_block=s_block, query_cache_bytes=query_cache_bytes,
+            with_info=True)
+    cand = np.unique(np.asarray(top_i).ravel())
+    d, idx = _rerank_candidates(embed_hi, queries, syn, cand,
+                                engine=engine, q_block=q_block,
+                                s_block=s_block,
+                                query_cache_bytes=query_cache_bytes)
+
+    probe_dt = (jax.eval_shape(embed_lo, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype)))
+    probe_dt = (list(probe_dt)[0] if engine == "taps" else probe_dt).dtype
+    demoted = _stream_demote(probe_dt, None) and engine != "exact"
+    eta = cert_eta if cert_eta is not None else _default_cert_eta(demoted)
+    cert = two_pass_certificate(np.asarray(d), np.asarray(topk_d),
+                                np.asarray(rq), float(np.max(rs_max)), eta)
+    bad = np.nonzero(~cert)[0]
+    if bad.size:
+        print(f"[knn] two-pass certificate failed for {bad.size} "
+              f"queries; exact-f32 fallback search")
+        d_fix, i_fix = knn_argmin_streamed(
+            embed_hi, queries[bad], syn, engine="gemm",
+            q_block=min(q_block, 1024), s_block=min(s_block, 1024),
+            query_cache_bytes=min(query_cache_bytes, 2 << 30),
+            precision="highest")
+        d = jnp.asarray(np.asarray(d).copy())
+        idx = jnp.asarray(np.asarray(idx).copy())
+        d = d.at[jnp.asarray(bad)].set(d_fix)
+        idx = idx.at[jnp.asarray(bad)].set(i_fix)
+    if return_cert:
+        return d, idx, cert, int(bad.size)
+    return d, idx
 
 
 def knn_argmin_reference_batched(emb_q: Array, emb_s: Array,

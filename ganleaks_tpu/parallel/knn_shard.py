@@ -25,11 +25,26 @@ lexicographic (distance, index) fold instead.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ganleaks_tpu.ops.knn import _fold_block, pad_rows
+from ganleaks_tpu.ops.knn import (
+    _fold_block,
+    _fold_block_parts,
+    _fold_block_topk,
+    _fold_block_topk_parts,
+    _fused_embed_norms,
+    _fused_parts_norms,
+    _is_oom,
+    _phys_row_bytes,
+    _stream_demote,
+    _update_rows,
+    pad_rows,
+)
 
 Array = jax.Array
 
@@ -142,3 +157,362 @@ def knn_argmin_ring(embed_fn, queries: Array, syn: Array, mesh: Mesh,
                        out_specs=(P(axis), P(axis)))
     d, i = fn(queries_p, syn_p)
     return d[:n_q], i[:n_q]
+
+
+# ---------------------------------------------------------------------------
+# Streamed mesh engine — the single-chip flagship design (ops/knn:
+# fused embed+norms in ONE compiled call, chunked replicated query cache
+# with donated in-place writes, bf16 streams with f32 norms, OOM resume by
+# halving only the offending block) laid out over a 1-D mesh.
+#
+# Layout: the synthetic set is sharded contiguously over the mesh axis and
+# each chip featurizes ONLY its own shard, once per query chunk; queries
+# are featurized with the batch axis sharded (1/n_dev of the tower work per
+# chip) and the embedded blocks all-gathered into a replicated cache over
+# ICI. Per chip that is O(N_q/n_dev + N_s/n_dev) tower forwards per chunk —
+# vs O(N_q + (N_q/q_block) * N_s/n_dev) for the older per-block
+# re-featurizing paths above (kept for small sets and as oracles).
+#
+# Engines: 'gemm' | 'exact' | 'taps' (structured parts, no flat relayout).
+# 'pallas' maps to 'gemm': the Pallas kernel is a single-chip VMEM-argmin
+# optimization with identical fold semantics; the HBM-level streaming here
+# is the same either way.
+# ---------------------------------------------------------------------------
+
+
+def _mesh_fn_cache(embed_fn) -> dict:
+    """Per-embed_fn cache of compiled mesh wrappers (same lifetime and
+    bound-method handling as ``ops/knn._fused_cache_for``)."""
+    from ganleaks_tpu.ops.knn import _fused_cache_for
+    return _fused_cache_for(embed_fn).setdefault("_mesh", {})
+
+
+def _as_parts(fused, structured: bool):
+    """Normalize flat/parts fused embed+norms to the parts contract."""
+    if structured:
+        return fused
+    return lambda blk: ((lambda e_r: ([e_r[0]], e_r[1]))(fused(blk)))
+
+
+def _build_embed_gather(embed_fn, mesh: Mesh, axis: str, cdtype,
+                        structured: bool):
+    """Replicated-cache featurizer: each device embeds its 1/n_dev of the
+    block's rows, then tiled all-gathers ride ICI so every chip holds the
+    full embedded block. Cached per (mesh, axis, dtype, form)."""
+    from ganleaks_tpu.ops.knn import _fused_embed_norms, _fused_parts_norms
+    cache = _mesh_fn_cache(embed_fn)
+    key = ("embed_gather", mesh, axis, jnp.dtype(cdtype).name, structured)
+    if key not in cache:
+        fused = (_fused_parts_norms if structured
+                 else _fused_embed_norms)(embed_fn, cdtype)
+        as_parts = _as_parts(fused, structured)
+
+        def local(q):
+            parts, r = as_parts(q)
+            parts = [jax.lax.all_gather(p, axis, tiled=True) for p in parts]
+            return parts, jax.lax.all_gather(r, axis, tiled=True)
+
+        cache[key] = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=P(axis), out_specs=(P(), P()),
+            check_vma=False))
+    return cache[key]
+
+
+def _build_fold_step(embed_fn, mesh: Mesh, axis: str, cdtype,
+                     structured: bool, engine: str, s_block: int,
+                     k: int | None, precision: str | None):
+    """One streamed fold step: every chip slices ``s_block`` rows of its
+    resident shard, featurizes them, and folds the distance tile into its
+    per-shard running state. ``ss``/``shard_p`` are traced so one compile
+    serves the whole sweep. Cached per static config."""
+    from ganleaks_tpu.ops.knn import _fused_embed_norms, _fused_parts_norms
+    cache = _mesh_fn_cache(embed_fn)
+    key = ("fold", mesh, axis, jnp.dtype(cdtype).name, structured, engine,
+           s_block, k, precision)
+    if key not in cache:
+        fused = (_fused_parts_norms if structured
+                 else _fused_embed_norms)(embed_fn, cdtype)
+        as_parts = _as_parts(fused, structured)
+
+        def local(syn_loc, bufs, rq, run_d, run_i, rs_max, ss, shard_p, n_s):
+            blk = jax.lax.dynamic_slice_in_dim(syn_loc, ss, s_block, 0)
+            s_parts, rs = as_parts(blk)
+            me = jax.lax.axis_index(axis)
+            col0 = me * shard_p + ss
+            n_valid = jnp.clip(n_s - col0, 0, s_block)
+            rd, ri = run_d[0], run_i[0]
+            if k is None:
+                if structured:
+                    rd, ri = _fold_block_parts(rd, ri, bufs, rq, s_parts,
+                                               rs, col0, n_valid, precision)
+                else:
+                    rd, ri = _fold_block(rd, ri, bufs[0], rq, s_parts[0],
+                                         col0, n_valid, engine, precision,
+                                         rs)
+            else:
+                if structured:
+                    rd, ri = _fold_block_topk_parts(rd, ri, bufs, rq,
+                                                    s_parts, rs, col0,
+                                                    n_valid, k)
+                else:
+                    rd, ri = _fold_block_topk(rd, ri, bufs[0], rq,
+                                              s_parts[0], col0, n_valid, k,
+                                              engine, rs)
+            rs_max = jnp.maximum(rs_max, jax.lax.pmax(jnp.max(rs), axis))
+            return rd[None], ri[None], rs_max
+
+        state_spec = P(axis, *([None] * (1 if k is None else 2)))
+        cache[key] = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(), P(), state_spec, state_spec, P(), P(),
+                      P(), P()),
+            out_specs=(state_spec, state_spec, P()), check_vma=False))
+    return cache[key]
+
+
+def _slice_pad(x, start: int, block: int):
+    """Host-or-device row slice padded to ``block`` (one tower shape)."""
+    blk = x[start:start + block]
+    n = blk.shape[0]
+    if n < block:
+        if isinstance(blk, np.ndarray):
+            blk = np.concatenate(
+                [blk, np.zeros((block - n,) + blk.shape[1:], blk.dtype)])
+        else:
+            blk = pad_rows(blk, block)
+    return blk, n
+
+
+def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
+                        structured: bool, engine: str, k: int | None,
+                        q_block: int, s_block: int, query_cache_bytes: int,
+                        precision: str | None, with_info: bool = False):
+    """Driver shared by the mesh argmin/top-k searches. Mirrors
+    ``ops/knn._stream_search``'s memory discipline; state lives sharded
+    (one (min, argmin) or top-k row-set per shard) and is combined once at
+    the end of each query chunk."""
+    n_dev = mesh.shape[axis]
+    n_q, n_s = queries.shape[0], syn.shape[0]
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(axis))
+
+    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype))
+    probe = list(probe) if structured else [probe]
+    demote = _stream_demote(probe[0].dtype, precision) and engine != "exact"
+    cdtype = jnp.bfloat16 if demote else probe[0].dtype
+
+    # synthetic shard layout: contiguous index ranges, padded so every
+    # shard is a whole number of s_blocks (a clamped dynamic_slice would
+    # otherwise mis-attribute global indices near the shard end)
+    shard = -(-n_s // n_dev)
+    s_block = min(s_block, shard)
+    shard_p = -(-shard // s_block) * s_block
+    if isinstance(syn, np.ndarray):
+        syn_p = np.concatenate(
+            [syn, np.zeros((shard_p * n_dev - n_s,) + syn.shape[1:],
+                           syn.dtype)]) if shard_p * n_dev > n_s else syn
+        syn_flat = jax.device_put(syn_p, data_sh)
+    else:
+        syn_flat = jax.device_put(pad_rows(syn, shard_p * n_dev), data_sh)
+
+    # query featurize is batch-sharded: blocks must split n_dev ways
+    q_block = max(n_dev, -(-min(q_block, max(n_q, 1)) // n_dev) * n_dev)
+    row_bytes = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
+                                jnp.dtype(cdtype).itemsize)
+    chunk_rows = max(q_block,
+                     int(query_cache_bytes // max(1, row_bytes))
+                     // q_block * q_block)
+
+    zeros_rep = jax.jit(
+        lambda shape, dt: jnp.zeros(shape, dt), static_argnums=(0, 1),
+        out_shardings=rep)
+    state_sh = NamedSharding(mesh, P(axis, *([None] * (1 if k is None
+                                                       else 2))))
+    init_state = jax.jit(
+        lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
+                       jnp.zeros(shape, jnp.int32)),
+        static_argnums=0, out_shardings=(state_sh, state_sh))
+
+    if k is None:
+        def combine(rd, ri):  # (n_dev, padded) -> first-shard-wins argmin
+            best = jnp.argmin(rd, axis=0)
+            return (jnp.take_along_axis(rd, best[None], 0)[0],
+                    jnp.take_along_axis(ri, best[None], 0)[0])
+    else:
+        def combine(rd, ri):  # (n_dev, padded, k) -> global stable top-k
+            n_dv, padded, _ = rd.shape
+            cat_d = jnp.transpose(rd, (1, 0, 2)).reshape(padded, n_dv * k)
+            cat_i = jnp.transpose(ri, (1, 0, 2)).reshape(padded, n_dv * k)
+            neg, pos = jax.lax.top_k(-cat_d, k)
+            return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+    combine = jax.jit(combine, out_shardings=(rep, rep))
+
+    outs = []
+    rs_max_val = None
+    qs0 = 0
+    while qs0 < n_q:
+        end = min(n_q, qs0 + chunk_rows)
+        n_rows = end - qs0
+        padded = n_rows + (-n_rows) % q_block
+        bufs = [zeros_rep((padded,) + tuple(p.shape[1:]), cdtype)
+                for p in probe]
+        rq = zeros_rep((padded,), jnp.float32)
+        qs = qs0
+        while qs < end:
+            blk, _ = _slice_pad(queries, qs, q_block)
+            try:
+                gather = _build_embed_gather(embed_fn, mesh, axis, cdtype,
+                                             structured)
+                parts, rq_part = gather(jax.device_put(blk, data_sh))
+            except Exception as e:
+                if not _is_oom(e) or q_block <= n_dev:
+                    raise
+                q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
+                print(f"[knn-mesh] query featurize OOM; q_block={q_block} "
+                      f"(resuming at row {qs})")
+                continue
+            cap = padded - (qs - qs0)
+            if parts[0].shape[0] > cap:
+                parts = [p[:cap] for p in parts]
+                rq_part = rq_part[:cap]
+            bufs = [_update_rows(b, p, qs - qs0)
+                    for b, p in zip(bufs, parts)]
+            rq = _update_rows(rq, rq_part, qs - qs0)
+            qs += parts[0].shape[0]
+
+        st_shape = (n_dev, padded) if k is None else (n_dev, padded, k)
+        run_d, run_i = init_state(st_shape)
+        rs_max = zeros_rep((), jnp.float32)
+        ss = 0
+        while ss < shard_p:
+            try:
+                fold = _build_fold_step(embed_fn, mesh, axis, cdtype,
+                                        structured, engine, s_block, k,
+                                        precision)
+                new_d, new_i, rs_max_new = fold(
+                    syn_flat, bufs, rq, run_d, run_i, rs_max,
+                    jnp.int32(ss), jnp.int32(shard_p), jnp.int32(n_s))
+            except Exception as e:
+                if not _is_oom(e) or s_block <= 1:
+                    raise
+                s_block = max(1, s_block // 2)
+                print(f"[knn-mesh] synthetic stream OOM; s_block={s_block} "
+                      f"(resuming at row {ss})")
+                continue
+            run_d, run_i, rs_max = new_d, new_i, rs_max_new
+            ss += s_block
+        d, i = combine(run_d, run_i)
+        rs_max_val = rs_max if rs_max_val is None else \
+            jnp.maximum(rs_max_val, rs_max)
+        outs.append((d[:n_rows], i[:n_rows], rq[:n_rows]))
+        del bufs, rq, run_d, run_i
+        qs0 = end
+
+    d = jnp.concatenate([o[0] for o in outs]) if len(outs) > 1 else outs[0][0]
+    i = jnp.concatenate([o[1] for o in outs]) if len(outs) > 1 else outs[0][1]
+    if not with_info:
+        return d, i
+    rq_all = (jnp.concatenate([o[2] for o in outs]) if len(outs) > 1
+              else outs[0][2])
+    return d, i, {"rq": rq_all, "rs_max": rs_max_val,
+                  "demoted": bool(demote)}
+
+
+def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
+                                engine: str = "gemm", q_block: int = 2048,
+                                s_block: int = 2048,
+                                query_cache_bytes: int = 4 << 30,
+                                precision: str | None = None,
+                                axis: str | None = None
+                                ) -> tuple[Array, Array]:
+    """Mesh 1-NN at single-chip engine parity: generated set sharded, each
+    chip featurizes only its shard (once per query chunk), query featurize
+    batch-sharded into a replicated chunked cache, bf16 streams on TPU,
+    OOM resume. ``engine='taps'`` expects the structured (parts)
+    ``embed_fn`` (``ops/distance.make_embed_parts_fn``).
+
+    Replaces ``fbb.py:73-88`` at the BASELINE.md north-star scale
+    (100k x 20k on a v4-8); bit-equal indices to the single-device search
+    (first-index tie-break across contiguous shards)."""
+    axis = axis or mesh.axis_names[0]
+    structured = engine == "taps"
+    if engine == "pallas":
+        engine = "gemm"  # same math; see module comment
+    if engine not in ("gemm", "exact", "taps"):
+        raise ValueError(f"unknown mesh kNN engine {engine!r}")
+    return _mesh_stream_search(
+        embed_fn, queries, syn, mesh, axis=axis, structured=structured,
+        engine=engine, k=None, q_block=q_block, s_block=s_block,
+        query_cache_bytes=query_cache_bytes, precision=precision)
+
+
+def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
+                              k: int = 8, engine: str = "gemm",
+                              q_block: int = 2048, s_block: int = 2048,
+                              query_cache_bytes: int = 4 << 30,
+                              axis: str | None = None,
+                              with_info: bool = False):
+    """Per-query k smallest distances + indices on a mesh (pass 1 of the
+    mesh two-pass mode). Same streaming/memory discipline as
+    :func:`knn_argmin_sharded_streamed`; per-shard top-k states merge with
+    the first-index-stable device-major concatenation."""
+    axis = axis or mesh.axis_names[0]
+    structured = engine == "taps"
+    if engine == "pallas":
+        engine = "gemm"
+    if engine not in ("gemm", "exact", "taps"):
+        raise ValueError(f"unknown mesh kNN engine {engine!r}")
+    return _mesh_stream_search(
+        embed_fn, queries, syn, mesh, axis=axis, structured=structured,
+        engine=engine, k=k, q_block=q_block, s_block=s_block,
+        query_cache_bytes=query_cache_bytes, precision=None,
+        with_info=with_info)
+
+
+def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
+                             *, k: int = 8, engine: str = "gemm",
+                             q_block: int = 2048, s_block: int = 2048,
+                             query_cache_bytes: int = 4 << 30,
+                             cert_eta: float | None = None,
+                             axis: str | None = None,
+                             return_cert: bool = False):
+    """Two-pass exact-index mode on a mesh: sharded streamed top-k
+    (pass 1) + replicated exact re-rank of the tiny candidate union
+    (pass 2, ``precision='highest'``), with the same runtime exactness
+    certificate as the single-chip path — uncertified queries re-search
+    the full set through the sharded f32 engine."""
+    from ganleaks_tpu.ops.knn import (
+        _default_cert_eta, _rerank_candidates, two_pass_certificate)
+    axis = axis or mesh.axis_names[0]
+    topk_d, top_i, info = knn_topk_sharded_streamed(
+        embed_lo, queries, syn, mesh, k=k, engine=engine, q_block=q_block,
+        s_block=s_block, query_cache_bytes=query_cache_bytes, axis=axis,
+        with_info=True)
+    cand = np.unique(np.asarray(top_i).ravel())
+    d, idx = _rerank_candidates(embed_hi, queries, syn, cand,
+                                engine=engine, q_block=q_block,
+                                s_block=s_block,
+                                query_cache_bytes=query_cache_bytes)
+    eta = cert_eta if cert_eta is not None else \
+        _default_cert_eta(info["demoted"])
+    cert = two_pass_certificate(np.asarray(d), np.asarray(topk_d),
+                                np.asarray(info["rq"]),
+                                float(info["rs_max"]), eta)
+    bad = np.nonzero(~cert)[0]
+    if bad.size:
+        print(f"[knn-mesh] two-pass certificate failed for {bad.size} "
+              f"queries; exact-f32 sharded fallback search")
+        d_fix, i_fix = knn_argmin_sharded_streamed(
+            embed_hi, np.asarray(queries)[bad], syn, mesh,
+            engine="gemm" if engine != "exact" else engine,
+            q_block=min(q_block, 1024), s_block=min(s_block, 1024),
+            query_cache_bytes=min(query_cache_bytes, 2 << 30),
+            precision="highest", axis=axis)
+        d = jnp.asarray(np.asarray(d).copy())
+        idx = jnp.asarray(np.asarray(idx).copy())
+        d = d.at[jnp.asarray(bad)].set(d_fix)
+        idx = idx.at[jnp.asarray(bad)].set(i_fix)
+    if return_cert:
+        return d, idx, cert, int(bad.size)
+    return d, idx
