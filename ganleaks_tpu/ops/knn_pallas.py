@@ -146,6 +146,24 @@ def _knn_topk_kernel(k: int, q_ref, s_ref, rq_ref, rs_ref, d_out, i_out,
             i_out[:] = run_i[:]
 
 
+def _device_vmem_bytes() -> int:
+    """Physical VMEM of the local TPU generation (per core). v4/v5/v6
+    class chips carry 128 MiB; older (v2/v3) and unknown kinds get the
+    conservative 16 MiB so the kernel compiles everywhere instead of
+    dying at Mosaic compile time (where RESOURCE_EXHAUSTED-style OOM
+    resume never engages). Sizes both the scoped-vmem limit and the tile
+    clamp; the streamed drivers additionally fall back to the XLA fold if
+    Mosaic still refuses."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 16 << 20
+    for tag in ("v4", "v5", "v6", "v7"):
+        if tag in kind:
+            return 128 << 20
+    return 16 << 20
+
+
 def _vmem_estimate(q_block: int, s_block: int, k_block: int, dtype) -> int:
     """Scoped-VMEM footprint of one kernel instance: f32 accumulator +
     double-buffered input tiles + the lane-padded (x, 1) blocks (rq, rs,
@@ -235,7 +253,8 @@ def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 0,
     # below is raised to 96 MB of the v5e's 128 MB physical VMEM;
     # vmem_clamp=False for explicit tile sweeps, e.g. tools/tune_knn.py)
     while vmem_clamp and _vmem_estimate(
-            q_block, s_block, k_block, emb_q.dtype) > (72 << 20):
+            q_block, s_block, k_block, emb_q.dtype) \
+            > _device_vmem_bytes() * 9 // 16:
         if s_block >= q_block and s_block > 128:
             s_block //= 2
         elif q_block > 8:
@@ -287,10 +306,10 @@ def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 0,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            # the default scoped-vmem limit is 16 MB; the v5e has 128 MB
-            # physical VMEM — large tiles (less re-streaming of the query
-            # matrix) are the whole point of the fused kernel
-            vmem_limit_bytes=96 << 20),
+            # the default scoped-vmem limit is 16 MB; large tiles (less
+            # re-streaming of the query matrix) are the whole point of
+            # the fused kernel, so claim 3/4 of the generation's VMEM
+            vmem_limit_bytes=_device_vmem_bytes() * 3 // 4),
         interpret=interpret,
     )(q, s, rq_p, rs_p)
 
@@ -310,7 +329,10 @@ def knn_topk_pallas(emb_q: Array, emb_s: Array, *, k: int = 4,
     running top-k state in VMEM. Entries are distance-ascending with
     first-global-index tie-break, so ``[:, 0]`` equals the argmin kernel's
     result. Rows beyond ``N_s`` can never enter (rs padded +inf); when
-    ``N_s < k`` the trailing entries are (+inf, 0).
+    ``N_s < k`` the trailing entries have d = +inf and UNSPECIFIED
+    duplicate indices (the min-extraction merge re-selects an already
+    extracted position once all finite candidates are used) — consumers
+    must mask on d or dedupe (the two-pass driver's ``np.unique`` does).
 
     This is pass 1 of the exact-index throughput mode
     (``ops/knn.knn_argmin_two_pass``): the XLA fold pays a
@@ -339,7 +361,8 @@ def knn_topk_pallas(emb_q: Array, emb_s: Array, *, k: int = 4,
     s_block = min(s_block, max(128, n_s))
     k_block = min(k_block, max(128, k_dim))
     while vmem_clamp and _vmem_estimate(
-            q_block, s_block, k_block, emb_q.dtype) > (72 << 20):
+            q_block, s_block, k_block, emb_q.dtype) \
+            > _device_vmem_bytes() * 9 // 16:
         if s_block >= q_block and s_block > 128:
             s_block //= 2
         elif q_block > 8:
@@ -390,7 +413,7 @@ def knn_topk_pallas(emb_q: Array, emb_s: Array, *, k: int = 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=96 << 20),
+            vmem_limit_bytes=_device_vmem_bytes() * 3 // 4),
         interpret=interpret,
     )(q, s, rq_p, rs_p)
 

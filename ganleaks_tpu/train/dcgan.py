@@ -114,13 +114,15 @@ def _jitted(fn):
 
 
 def _log_sample_grid(logger: MetricsLogger, sample_fn, variables,
-                     z: jax.Array, step: int) -> None:
+                     z: jax.Array, step: int, *extra) -> None:
     """Per-epoch generated-sample grid (observability parity with the
     reference's wandb image logging, ``train_torch.py:125-127``). No-op
-    unless the logger has an image sink configured."""
+    unless the logger has an image sink configured. ``extra`` forwards
+    traced sampler args (e.g. PGGAN's current fade-in alpha) without
+    defeating the per-architecture jit cache."""
     if logger.image_dir is None and logger._wandb is None:
         return
-    img = _jitted(sample_fn)(variables, z)
+    img = _jitted(sample_fn)(variables, z, *extra)
     logger.log_image_grid(
         "samples", np.clip((np.asarray(img) + 1.0) / 2.0, 0.0, 1.0),
         step=step)

@@ -192,7 +192,7 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
                 logger, _sample_fn(cfg.nz, cfg.in_channels, cfg.nc, steps),
                 {"params": state.gen.params},
                 jax.random.normal(jax.random.fold_in(key, 3), (64, cfg.nz)),
-                int(state.step))
+                int(state.step), jnp.float32(alpha))
         logger.log({"resolution": res, **jax.device_get(metrics),
                     "alpha": alpha, "images_per_sec": meter.rate()},
                    step=int(state.step))
@@ -213,7 +213,10 @@ import functools
 @functools.lru_cache(maxsize=16)
 def _sample_fn(nz: int, in_channels: int, nc: int, steps: int):
     gen = Generator(nz=nz, in_channels=in_channels, nc=nc)
-    return lambda v, z: gen.apply(v, z, steps, 1.0)
+    # alpha is a traced arg so mid-fade-in sample grids show the network
+    # actually being trained (reference logs fakes at the CURRENT alpha,
+    # pggan/train.py:196-197); generation-time callers use the 1.0 default
+    return lambda v, z, alpha=1.0: gen.apply(v, z, steps, alpha)
 
 
 def generate(cfg: PGGANConfig, state: GANState, run_dir: str | None = None,
