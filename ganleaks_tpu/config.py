@@ -178,6 +178,28 @@ class ReconstructionConfig:
 
 
 @dataclass
+class TabularAttackConfig:
+    """fbb attack on (N, D) tabular records (medGAN's ``synthetic.npy``,
+    reference ``gan_models/medgan/train.py:247-318``). The reference ships
+    no tabular attack script; the fbb artifact layout is reused so
+    ``eval_roc`` consumes the run unchanged (BASELINE config #4)."""
+
+    exp_name: str = "fbb_tabular_debug"
+    syn_data_path: str | None = None     # synthetic.npy / .npz / .csv
+    pos_data_path: str | None = None     # member rows (.npy/.npz/.csv)
+    neg_data_path: str | None = None     # non-member rows
+    dataset_csv: str | None = None       # alternative: the medGAN CSV; the
+                                         # reference 90/10 split defines
+                                         # members/non-members
+    data_num: int = 20000
+    engine: str = "gemm"                 # 'gemm' | 'pallas' | 'exact'
+    syn_block: int = 8192
+    save_root: str = "fbb_attack"
+    wandb: str | None = None
+    seed: int = 0
+
+
+@dataclass
 class EvalConfig:
     """ROC evaluation (reference ``attack_models/eval_roc.py:43-55``)."""
 
