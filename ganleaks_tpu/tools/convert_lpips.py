@@ -37,20 +37,62 @@ VGG16_FEATURE_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
 ALEXNET_FEATURE_IDX = [0, 3, 6, 8, 10]
 
 
+SQUEEZE_FIRE_IDX = [3, 4, 6, 7, 9, 10, 11, 12]  # squeezenet1_1 features
+
+
+def _hwio(w: np.ndarray) -> "jnp.ndarray":
+    return jnp.asarray(w.transpose(2, 3, 1, 0))
+
+
+def _conv_entry(sd: dict, prefix: str) -> dict:
+    return {"kernel": _hwio(_np(sd[f"{prefix}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _bn_folded(sd: dict, conv_key: str, bn_key: str, eps: float = 1e-5
+               ) -> dict:
+    """Fold an eval-mode BatchNorm into the preceding (bias-free) conv:
+    kernel' = w * gamma/sqrt(var+eps) per out channel,
+    bias'   = beta - mean * gamma/sqrt(var+eps)."""
+    w = _np(sd[f"{conv_key}.weight"])
+    g = _np(sd[f"{bn_key}.weight"])
+    b = _np(sd[f"{bn_key}.bias"])
+    mu = _np(sd[f"{bn_key}.running_mean"])
+    var = _np(sd[f"{bn_key}.running_var"])
+    a = g / np.sqrt(var + eps)
+    return {"kernel": _hwio(w * a[:, None, None, None]),
+            "bias": jnp.asarray(b - mu * a)}
+
+
 def convert_backbone_state_dict(sd: dict, net: str) -> list[dict]:
-    """torchvision ``features.{i}.weight/bias`` (OIHW) -> HWIO param list."""
+    """torchvision state dict -> flat HWIO conv list in forward traversal
+    order (the layout of ``backbones.backbone_features``). vgg/alex read
+    ``features.{i}``; squeeze reads the Fire modules' three convs each;
+    resnet18 folds every BatchNorm into its conv (eval-mode inference)."""
+    if net == "squeeze":
+        convs = [_conv_entry(sd, "features.0")]
+        for i in SQUEEZE_FIRE_IDX:
+            for part in ("squeeze", "expand1x1", "expand3x3"):
+                convs.append(_conv_entry(sd, f"features.{i}.{part}"))
+        return convs
+    if net in ("resnet", "resnet18"):
+        convs = [_bn_folded(sd, "conv1", "bn1")]
+        for layer, n_blocks in (("layer1", 2), ("layer2", 2),
+                                ("layer3", 2), ("layer4", 2)):
+            for b in range(n_blocks):
+                pre = f"{layer}.{b}"
+                convs.append(_bn_folded(sd, f"{pre}.conv1", f"{pre}.bn1"))
+                convs.append(_bn_folded(sd, f"{pre}.conv2", f"{pre}.bn2"))
+                if f"{pre}.downsample.0.weight" in sd:
+                    convs.append(_bn_folded(sd, f"{pre}.downsample.0",
+                                            f"{pre}.downsample.1"))
+        return convs
     idxs = VGG16_FEATURE_IDX if net in ("vgg", "vgg16") else ALEXNET_FEATURE_IDX
     n_convs = len([c for c in
                    (VGG16_CONVS if net in ("vgg", "vgg16") else ALEXNET_CONVS)
                    if not isinstance(c, str)])
     assert len(idxs) == n_convs
-    convs = []
-    for i in idxs:
-        w = _np(sd[f"features.{i}.weight"])
-        b = _np(sd[f"features.{i}.bias"])
-        convs.append({"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
-                      "bias": jnp.asarray(b)})
-    return convs
+    return [_conv_entry(sd, f"features.{i}") for i in idxs]
 
 
 def convert_lin_state_dict(sd: dict) -> list[np.ndarray]:
@@ -77,7 +119,8 @@ def _np(t) -> np.ndarray:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--net", default="vgg", choices=["vgg", "alex"])
+    ap.add_argument("--net", default="vgg",
+                choices=["vgg", "alex", "squeeze", "resnet18"])
     ap.add_argument("--backbone", default=None,
                     help="torchvision state-dict .pth (omit for surrogate)")
     ap.add_argument("--lin", default=None,
