@@ -79,8 +79,8 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
 
     if two_pass:
         # exact-index throughput mode: bf16 candidate pass + f32 rerank;
-        # engine='taps' runs pass 1 on structured (tap-layout) embeddings
-        if engine == "taps":
+        # engine='taps'/'taps-int8' runs pass 1 on structured embeddings
+        if engine in ("taps", "taps-int8"):
             embed_lo = make_embed_parts_fn(
                 "l2-lpips", lpips_embed_parts_fn(params, weight=0.2,
                                                  dtype=jnp.bfloat16,
@@ -107,8 +107,9 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
                                        q_block=q_block, s_block=s_block)
             _sync(d, i)
             return d, i
-    elif engine == "taps":
-        # structured embeddings: tower-native tap layouts, no flat relayout
+    elif engine in ("taps", "taps-int8"):
+        # structured embeddings: tower-native tap layouts, no flat
+        # relayout; 'taps-int8' streams int8 parts (2.36x MXU rate)
         parts_embed = make_embed_parts_fn(
             "l2-lpips", lpips_embed_parts_fn(params, weight=0.2,
                                              dtype=jnp.dtype(dtype),
@@ -118,7 +119,8 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
         def attack():
             d, i = knn_argmin_streamed_parts(parts_embed, queries, syn,
                                              q_block=q_block,
-                                             s_block=s_block)
+                                             s_block=s_block,
+                                             quantize=engine == "taps-int8")
             _sync(d, i)
             return d, i
     else:
@@ -174,7 +176,8 @@ def main() -> None:
     # bf16 LPIPS tower + tap-structured embeddings (no flat relayout),
     # 43.6M pairs/s at 2000x20000
     ap.add_argument("--engine", default="taps",
-                    choices=["gemm", "pallas", "exact", "taps"])
+                    choices=["gemm", "pallas", "exact", "taps",
+                             "taps-int8"])
     ap.add_argument("--n_q", type=int, default=None)
     ap.add_argument("--n_syn", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16",

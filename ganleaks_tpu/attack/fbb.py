@@ -115,6 +115,9 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             # exactness certificate (parallel/knn_shard)
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_two_pass_mesh)
+            if cfg.engine == "taps-int8":
+                raise ValueError("engine='taps-int8' is single-chip only "
+                                 "for now; use 'taps' on a mesh")
             lo_cfg = replace(cfg, dtype="bfloat16",
                              lpips_compute_dtype="bfloat16")
             hi_cfg = replace(cfg, dtype="float32",
@@ -130,6 +133,9 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             # OOM resume; 'taps' keeps its structured parts per shard
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_sharded_streamed)
+            if cfg.engine == "taps-int8":
+                raise ValueError("engine='taps-int8' is single-chip only "
+                                 "for now; use 'taps' on a mesh")
             emb = (build_embed_fn(cfg, structured=True)
                    if cfg.engine == "taps" else embed)
             d, i = knn_argmin_sharded_streamed(
@@ -145,16 +151,22 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             hi_cfg = replace(cfg, dtype="float32",
                              lpips_compute_dtype=None)
             d, i = knn_argmin_two_pass(
-                build_embed_fn(lo_cfg, structured=cfg.engine == "taps"),
+                build_embed_fn(lo_cfg,
+                               structured=cfg.engine in ("taps",
+                                                         "taps-int8")),
                 build_embed_fn(hi_cfg), q_j,
                 syn_j, k=cfg.two_pass_k, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
-        elif cfg.engine == "taps":
-            # tap-structured embeddings: no flat relayout (docs/PERF.md)
+        elif cfg.engine in ("taps", "taps-int8"):
+            # tap-structured embeddings: no flat relayout (docs/PERF.md);
+            # 'taps-int8' streams int8 parts with static rigorous scales
+            # (2.36x MXU rate, half the cache bytes; quantized scores —
+            # add two_pass=True for certified exact results)
             from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
             d, i = knn_argmin_streamed_parts(
                 build_embed_fn(cfg, structured=True), q_j, syn_j,
-                q_block=cfg.query_block, s_block=cfg.syn_block)
+                q_block=cfg.query_block, s_block=cfg.syn_block,
+                quantize=cfg.engine == "taps-int8")
         else:
             d, i = knn_argmin_streamed(embed, q_j, syn_j,
                                        engine=cfg.engine,

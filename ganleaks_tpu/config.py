@@ -128,6 +128,10 @@ class AttackConfig:
                                    # VMEM-argmin kernel) | 'taps'
                                    # (tap-structured embeddings, no flat
                                    # relayout — fastest; docs/PERF.md) |
+                                   # 'taps-int8' (int8-quantized parts:
+                                   # 2.36x MXU rate, half the cache
+                                   # bytes; quantized scores — pair with
+                                   # two_pass for certified exactness) |
                                    # 'exact' (reference math, elementwise)
     dtype: str = "float32"         # embedding dtype for the gemm engine
     lpips_compute_dtype: str | None = None  # 'bfloat16' runs the VGG tower

@@ -85,15 +85,32 @@ def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
 
     Part 0 is the flat pixel embedding; LPIPS taps keep their tower-native
     (N, H_l*W_l, C_l) layout so no flat relayout/concat is paid (see
-    ``ops/lpips.lpips_embed_parts``). Consumed by the 'taps' kNN engine."""
+    ``ops/lpips.lpips_embed_parts``). Consumed by the 'taps' kNN engine.
+
+    The returned closure carries ``part_bound_fn(sample_shape) ->
+    [max|phi_l|]`` — rigorous per-part elementwise magnitude bounds
+    (images in [-1, 1] give ``|phi_pix| <= 1/sqrt(D)``) used as static
+    scales by the int8 quantized engine (``ops/knn`` ``quantize=True``).
+    """
+    def pix_bound(sample_shape):
+        d = 1
+        for dim in sample_shape:
+            d *= dim
+        return 1.0 / float(d) ** 0.5
+
     if distance == "l2":
-        return lambda x: [pixel_embedding(x).astype(dtype)]
+        embed = lambda x: [pixel_embedding(x).astype(dtype)]
+        embed.part_bound_fn = lambda shape: [pix_bound(shape)]
+        return embed
     if distance == "l2-lpips":
         if lpips_parts is None:
             raise ValueError("l2-lpips requires an LPIPS parts function")
 
         def embed(x: Array) -> list[Array]:
             return [pixel_embedding(x).astype(dtype)] + lpips_parts(x)
+        if hasattr(lpips_parts, "part_bound_fn"):
+            embed.part_bound_fn = lambda shape: (
+                [pix_bound(shape)] + lpips_parts.part_bound_fn(shape))
         return embed
     raise ValueError(f"unknown distance {distance!r}")
 

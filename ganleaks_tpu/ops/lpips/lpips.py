@@ -218,13 +218,35 @@ def lpips_embed_parts(params: dict, x: Array, weight: float = 1.0,
     return parts
 
 
+def lpips_part_bounds(params: dict, sample_shape: tuple,
+                      weight: float = 0.2) -> list[float]:
+    """Per-part elementwise bound max|phi_l| for the parts embedding at a
+    given input ``sample_shape`` (H, W, C): every component of a
+    unit-normalized feature vector is <= 1, so
+    ``|phi_l| <= max_c sqrt(w_lc * weight / (H_l * W_l))``. Rigorous —
+    used as the static quantization scale of the int8 kNN engine
+    (``ops/knn`` ``quantize=True``)."""
+    feats = jax.eval_shape(
+        lambda x: _features(params, x),
+        jax.ShapeDtypeStruct((1,) + tuple(sample_shape), jnp.float32))
+    bounds = []
+    for fl, w in zip(feats, params["lins"]):
+        _n, h, wd, _c = fl.shape
+        wmax = float(np.max(np.maximum(np.asarray(w), 0.0)))
+        bounds.append(float(np.sqrt(wmax * weight / (h * wd))))
+    return bounds
+
+
 def lpips_embed_parts_fn(params: dict, weight: float = 0.2,
                          dtype=jnp.float32, compute_dtype=None):
     """Closure form of :func:`lpips_embed_parts` for
-    ``ops/distance.make_embed_parts_fn``."""
+    ``ops/distance.make_embed_parts_fn``. Carries ``part_bound_fn`` (per-
+    part elementwise magnitude bounds) for the int8 quantized engine."""
     def embed(x: Array) -> list[Array]:
         return lpips_embed_parts(params, x, weight=weight, dtype=dtype,
                                  compute_dtype=compute_dtype)
+    embed.part_bound_fn = lambda sample_shape: lpips_part_bounds(
+        params, sample_shape, weight)
     return embed
 
 
