@@ -173,9 +173,10 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--metric", default="knn", choices=["knn", "gen"])
     # defaults = the fastest measured mode on v5e (docs/PERF.md):
-    # bf16 LPIPS tower + tap-structured embeddings (no flat relayout),
-    # 43.6M pairs/s at 2000x20000
-    ap.add_argument("--engine", default="taps",
+    # bf16 LPIPS tower + tap-structured embeddings quantized to int8
+    # streams (static rigorous scales, exact f32 norms) — 52.7M pairs/s
+    # at 2000x20000, 143.9M at the 20000x100000 north star
+    ap.add_argument("--engine", default="taps-int8",
                     choices=["gemm", "pallas", "exact", "taps",
                              "taps-int8"])
     ap.add_argument("--n_q", type=int, default=None)
