@@ -108,22 +108,22 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             # same gemm math there
             d, i = knn_argmin_ring(
                 embed, q_j, syn_j, mesh,
-                engine="gemm" if cfg.engine == "taps" else cfg.engine,
+                engine="gemm" if cfg.engine in ("taps", "taps-int8")
+                else cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
         elif mesh is not None and cfg.two_pass:
             # sharded streamed pass 1, replicated exact re-rank, runtime
             # exactness certificate (parallel/knn_shard)
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_two_pass_mesh)
-            if cfg.engine == "taps-int8":
-                raise ValueError("engine='taps-int8' is single-chip only "
-                                 "for now; use 'taps' on a mesh")
             lo_cfg = replace(cfg, dtype="bfloat16",
                              lpips_compute_dtype="bfloat16")
             hi_cfg = replace(cfg, dtype="float32",
                              lpips_compute_dtype=None)
             d, i = knn_argmin_two_pass_mesh(
-                build_embed_fn(lo_cfg, structured=cfg.engine == "taps"),
+                build_embed_fn(lo_cfg,
+                               structured=cfg.engine in ("taps",
+                                                         "taps-int8")),
                 build_embed_fn(hi_cfg), q_j, syn_j, mesh,
                 k=cfg.two_pass_k, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
@@ -133,11 +133,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             # OOM resume; 'taps' keeps its structured parts per shard
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_sharded_streamed)
-            if cfg.engine == "taps-int8":
-                raise ValueError("engine='taps-int8' is single-chip only "
-                                 "for now; use 'taps' on a mesh")
             emb = (build_embed_fn(cfg, structured=True)
-                   if cfg.engine == "taps" else embed)
+                   if cfg.engine in ("taps", "taps-int8") else embed)
             d, i = knn_argmin_sharded_streamed(
                 emb, q_j, syn_j, mesh, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)

@@ -35,12 +35,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ganleaks_tpu.ops.knn import (
     _fold_block,
     _fold_block_parts,
+    _fold_block_parts_q,
     _fold_block_topk,
     _fold_block_topk_parts,
+    _fold_block_topk_parts_q,
     _fused_embed_norms,
     _fused_parts_norms,
+    _fused_parts_norms_q,
     _is_oom,
+    _part_bounds_for,
     _phys_row_bytes,
+    _quant_abs_err,
+    _quant_factors,
     _stream_demote,
     _update_rows,
     pad_rows,
@@ -194,17 +200,24 @@ def _as_parts(fused, structured: bool):
     return lambda blk: ((lambda e_r: ([e_r[0]], e_r[1]))(fused(blk)))
 
 
+def _fused_mesh(embed_fn, cdtype, structured: bool, bounds):
+    """Select the fused embed+norms flavor (flat / parts / int8 parts)."""
+    if bounds is not None:
+        return _fused_parts_norms_q(embed_fn, bounds)
+    return (_fused_parts_norms if structured
+            else _fused_embed_norms)(embed_fn, cdtype)
+
+
 def _build_embed_gather(embed_fn, mesh: Mesh, axis: str, cdtype,
-                        structured: bool):
+                        structured: bool, bounds=None):
     """Replicated-cache featurizer: each device embeds its 1/n_dev of the
     block's rows, then tiled all-gathers ride ICI so every chip holds the
     full embedded block. Cached per (mesh, axis, dtype, form)."""
-    from ganleaks_tpu.ops.knn import _fused_embed_norms, _fused_parts_norms
     cache = _mesh_fn_cache(embed_fn)
-    key = ("embed_gather", mesh, axis, jnp.dtype(cdtype).name, structured)
+    key = ("embed_gather", mesh, axis, jnp.dtype(cdtype).name, structured,
+           bounds)
     if key not in cache:
-        fused = (_fused_parts_norms if structured
-                 else _fused_embed_norms)(embed_fn, cdtype)
+        fused = _fused_mesh(embed_fn, cdtype, structured, bounds)
         as_parts = _as_parts(fused, structured)
 
         def local(q):
@@ -220,19 +233,18 @@ def _build_embed_gather(embed_fn, mesh: Mesh, axis: str, cdtype,
 
 def _build_fold_step(embed_fn, mesh: Mesh, axis: str, cdtype,
                      structured: bool, engine: str, s_block: int,
-                     k: int | None, precision: str | None):
+                     k: int | None, precision: str | None, bounds=None):
     """One streamed fold step: every chip slices ``s_block`` rows of its
     resident shard, featurizes them, and folds the distance tile into its
     per-shard running state. ``ss``/``shard_p`` are traced so one compile
     serves the whole sweep. Cached per static config."""
-    from ganleaks_tpu.ops.knn import _fused_embed_norms, _fused_parts_norms
     cache = _mesh_fn_cache(embed_fn)
     key = ("fold", mesh, axis, jnp.dtype(cdtype).name, structured, engine,
-           s_block, k, precision)
+           s_block, k, precision, bounds)
     if key not in cache:
-        fused = (_fused_parts_norms if structured
-                 else _fused_embed_norms)(embed_fn, cdtype)
+        fused = _fused_mesh(embed_fn, cdtype, structured, bounds)
         as_parts = _as_parts(fused, structured)
+        factors = _quant_factors(bounds) if bounds is not None else None
 
         def local(syn_loc, bufs, rq, run_d, run_i, rs_max, ss, shard_p, n_s):
             blk = jax.lax.dynamic_slice_in_dim(syn_loc, ss, s_block, 0)
@@ -242,7 +254,10 @@ def _build_fold_step(embed_fn, mesh: Mesh, axis: str, cdtype,
             n_valid = jnp.clip(n_s - col0, 0, s_block)
             rd, ri = run_d[0], run_i[0]
             if k is None:
-                if structured:
+                if factors is not None:
+                    rd, ri = _fold_block_parts_q(rd, ri, bufs, rq, s_parts,
+                                                 rs, col0, n_valid, factors)
+                elif structured:
                     rd, ri = _fold_block_parts(rd, ri, bufs, rq, s_parts,
                                                rs, col0, n_valid, precision)
                 else:
@@ -250,7 +265,11 @@ def _build_fold_step(embed_fn, mesh: Mesh, axis: str, cdtype,
                                          col0, n_valid, engine, precision,
                                          rs)
             else:
-                if structured:
+                if factors is not None:
+                    rd, ri = _fold_block_topk_parts_q(rd, ri, bufs, rq,
+                                                      s_parts, rs, col0,
+                                                      n_valid, k, factors)
+                elif structured:
                     rd, ri = _fold_block_topk_parts(rd, ri, bufs, rq,
                                                     s_parts, rs, col0,
                                                     n_valid, k)
@@ -286,11 +305,13 @@ def _slice_pad(x, start: int, block: int):
 def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                         structured: bool, engine: str, k: int | None,
                         q_block: int, s_block: int, query_cache_bytes: int,
-                        precision: str | None, with_info: bool = False):
+                        precision: str | None, with_info: bool = False,
+                        quantize: bool = False):
     """Driver shared by the mesh argmin/top-k searches. Mirrors
     ``ops/knn._stream_search``'s memory discipline; state lives sharded
     (one (min, argmin) or top-k row-set per shard) and is combined once at
-    the end of each query chunk."""
+    the end of each query chunk. ``quantize`` streams int8 parts with the
+    same static rigorous scales as the single-chip engine."""
     n_dev = mesh.shape[axis]
     n_q, n_s = queries.shape[0], syn.shape[0]
     rep = NamedSharding(mesh, P())
@@ -299,8 +320,14 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
         (1,) + tuple(queries.shape[1:]), queries.dtype))
     probe = list(probe) if structured else [probe]
-    demote = _stream_demote(probe[0].dtype, precision) and engine != "exact"
-    cdtype = jnp.bfloat16 if demote else probe[0].dtype
+    bounds = None
+    if quantize:
+        bounds = _part_bounds_for(embed_fn, queries)
+        cdtype = jnp.int8
+    else:
+        demote = (_stream_demote(probe[0].dtype, precision)
+                  and engine != "exact")
+        cdtype = jnp.bfloat16 if demote else probe[0].dtype
 
     # synthetic shard layout: contiguous index ranges, padded so every
     # shard is a whole number of s_blocks (a clamped dynamic_slice would
@@ -363,7 +390,7 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
             blk, _ = _slice_pad(queries, qs, q_block)
             try:
                 gather = _build_embed_gather(embed_fn, mesh, axis, cdtype,
-                                             structured)
+                                             structured, bounds)
                 parts, rq_part = gather(jax.device_put(blk, data_sh))
             except Exception as e:
                 if not _is_oom(e) or q_block <= n_dev:
@@ -389,7 +416,7 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
             try:
                 fold = _build_fold_step(embed_fn, mesh, axis, cdtype,
                                         structured, engine, s_block, k,
-                                        precision)
+                                        precision, bounds)
                 new_d, new_i, rs_max_new = fold(
                     syn_flat, bufs, rq, run_d, run_i, rs_max,
                     jnp.int32(ss), jnp.int32(shard_p), jnp.int32(n_s))
@@ -416,7 +443,11 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     rq_all = (jnp.concatenate([o[2] for o in outs]) if len(outs) > 1
               else outs[0][2])
     return d, i, {"rq": rq_all, "rs_max": rs_max_val,
-                  "demoted": bool(demote)}
+                  "demoted": bool(
+                      jnp.dtype(cdtype) == jnp.dtype(jnp.bfloat16)
+                      or quantize),
+                  "bounds": bounds,
+                  "part_shapes": [tuple(p.shape[1:]) for p in probe]}
 
 
 def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
@@ -436,15 +467,16 @@ def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     (100k x 20k on a v4-8); bit-equal indices to the single-device search
     (first-index tie-break across contiguous shards)."""
     axis = axis or mesh.axis_names[0]
-    structured = engine == "taps"
+    structured = engine in ("taps", "taps-int8")
     if engine == "pallas":
         engine = "gemm"  # same math; see module comment
-    if engine not in ("gemm", "exact", "taps"):
+    if engine not in ("gemm", "exact", "taps", "taps-int8"):
         raise ValueError(f"unknown mesh kNN engine {engine!r}")
     return _mesh_stream_search(
         embed_fn, queries, syn, mesh, axis=axis, structured=structured,
         engine=engine, k=None, q_block=q_block, s_block=s_block,
-        query_cache_bytes=query_cache_bytes, precision=precision)
+        query_cache_bytes=query_cache_bytes, precision=precision,
+        quantize=engine == "taps-int8")
 
 
 def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
@@ -458,16 +490,16 @@ def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     :func:`knn_argmin_sharded_streamed`; per-shard top-k states merge with
     the first-index-stable device-major concatenation."""
     axis = axis or mesh.axis_names[0]
-    structured = engine == "taps"
+    structured = engine in ("taps", "taps-int8")
     if engine == "pallas":
         engine = "gemm"
-    if engine not in ("gemm", "exact", "taps"):
+    if engine not in ("gemm", "exact", "taps", "taps-int8"):
         raise ValueError(f"unknown mesh kNN engine {engine!r}")
     return _mesh_stream_search(
         embed_fn, queries, syn, mesh, axis=axis, structured=structured,
         engine=engine, k=k, q_block=q_block, s_block=s_block,
         query_cache_bytes=query_cache_bytes, precision=None,
-        with_info=with_info)
+        with_info=with_info, quantize=engine == "taps-int8")
 
 
 def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
@@ -494,11 +526,13 @@ def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
                                 engine=engine, q_block=q_block,
                                 s_block=s_block,
                                 query_cache_bytes=query_cache_bytes)
+    abs_err = (_quant_abs_err(info["bounds"], info["part_shapes"])
+               if info["bounds"] is not None else 0.0)
     eta = cert_eta if cert_eta is not None else \
         _default_cert_eta(info["demoted"])
     cert = two_pass_certificate(np.asarray(d), np.asarray(topk_d),
                                 np.asarray(info["rq"]),
-                                float(info["rs_max"]), eta)
+                                float(info["rs_max"]), eta, abs_err)
     bad = np.nonzero(~cert)[0]
     if bad.size:
         print(f"[knn-mesh] two-pass certificate failed for {bad.size} "

@@ -1,6 +1,7 @@
 """int8-quantized 'taps-int8' engine: rigorous error bounds, argmin
 agreement on separated data, certified exactness through the two-pass,
-and the part_bound_fn contracts it relies on."""
+the part_bound_fn contracts it relies on, and single-chip/mesh
+equality."""
 
 import jax
 import jax.numpy as jnp
@@ -123,11 +124,13 @@ def test_attack_driver_taps_int8(rng):
     np.testing.assert_array_equal(out["pos_nn_idx"], np.arange(4))
     assert out["pos_loss"].mean() < out["neg_loss"].mean()
 
-    # mesh refusal is loud, not silent
+    # same engine on the 8-device mesh: identical results
     from jax.sharding import Mesh
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("syn",))
-    with pytest.raises(ValueError, match="single-chip"):
-        attack_arrays(cfg, syn, pos, neg, mesh=mesh)
+    out_m = attack_arrays(cfg, syn, pos, neg, mesh=mesh)
+    np.testing.assert_array_equal(out["pos_nn_idx"], out_m["pos_nn_idx"])
+    np.testing.assert_allclose(out["pos_loss"], out_m["pos_loss"],
+                               rtol=1e-5)
 
 
 def test_quantize_requires_part_bounds():

@@ -248,3 +248,35 @@ def test_attack_two_pass_on_mesh(rng, mesh):
     out = attack_arrays(tp, syn, pos, neg, mesh=mesh)
     np.testing.assert_array_equal(ref["pos_nn_idx"], out["pos_nn_idx"])
     np.testing.assert_allclose(ref["pos_loss"], out["pos_loss"], rtol=1e-5)
+
+
+def test_mesh_int8_equals_single_chip_int8(rng, mesh):
+    """engine='taps-int8' on the mesh reproduces the single-chip
+    quantized search bit-for-bit (same static scales, same fold math)."""
+    q, s = _data(rng)
+    emb = make_embed_parts_fn("l2")
+    d0, i0 = ks.knn_argmin_sharded_streamed(emb, q, s, mesh,
+                                            engine="taps-int8",
+                                            q_block=8, s_block=4)
+    from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
+    d1, i1 = knn_argmin_streamed_parts(make_embed_parts_fn("l2"),
+                                       jnp.asarray(q), jnp.asarray(s),
+                                       q_block=8, s_block=4, quantize=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_two_pass_mesh_int8_exact(rng, mesh):
+    """Mesh two-pass with int8 pass 1: certified exact f32 results (the
+    absolute quantization error rides the certificate)."""
+    q, s = _data(rng, n_q=7, n_s=29)
+    emb8 = make_embed_parts_fn("l2")
+    flat = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(flat, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=4, s_block=8,
+                                 precision="highest")
+    d, i, cert, n_fb = ks.knn_argmin_two_pass_mesh(
+        emb8, flat, q, s, mesh, k=3, engine="taps-int8", q_block=8,
+        s_block=4, return_cert=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d0), rtol=1e-6)
