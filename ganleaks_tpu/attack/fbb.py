@@ -102,14 +102,15 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     def search(queries: np.ndarray):
         q_j = jnp.asarray(queries)
         if mesh is not None and cfg.shard_layout == "ring":
-            from ganleaks_tpu.parallel.knn_shard import knn_argmin_ring
-            # ring is the >HBM layout (both sets sharded, ppermute
-            # rotation); it runs on flat embeddings — 'taps' maps to the
-            # same gemm math there
-            d, i = knn_argmin_ring(
-                embed, q_j, syn_j, mesh,
-                engine="gemm" if cfg.engine in ("taps", "taps-int8")
-                else cfg.engine,
+            # >HBM layout: both sets sharded, featurize-once, EMBEDDED
+            # blocks rotate over ICI (parallel/knn_shard streamed ring);
+            # supports every engine incl. taps/taps-int8
+            from ganleaks_tpu.parallel.knn_shard import (
+                knn_argmin_ring_streamed)
+            emb = (build_embed_fn(cfg, structured=True)
+                   if cfg.engine in ("taps", "taps-int8") else embed)
+            d, i = knn_argmin_ring_streamed(
+                emb, q_j, syn_j, mesh, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
         elif mesh is not None and cfg.two_pass:
             # sharded streamed pass 1, replicated exact re-rank, runtime

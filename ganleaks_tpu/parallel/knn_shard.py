@@ -550,3 +550,225 @@ def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
     if return_cert:
         return d, idx, cert, int(bad.size)
     return d, idx
+
+
+# ---------------------------------------------------------------------------
+# Streamed ring — the >HBM layout at streamed-engine parity. The older
+# knn_argmin_ring rotates IMAGE shards and re-featurizes each on every
+# chip (n_dev tower passes per synthetic row) and re-featurizes queries
+# per block. Here each chip featurizes only its HOME shard's block once
+# and the EMBEDDED block rotates around the ring (embeddings are ~170x
+# the image bytes, but ICI is fast and the tower is the scarce resource);
+# query shards featurize once into a per-chip resident cache. Per-chip
+# memory: image shard + query-shard cache + 2 embedded blocks — flat in
+# N_s. Engines: gemm/exact/taps/taps-int8 (same fused featurize + fold
+# flavors as everywhere else).
+# ---------------------------------------------------------------------------
+
+
+def _lex_merge(run_d, run_i, bd, bi):
+    """Lexicographic (distance, global index) merge — shards arrive in
+    per-chip ROTATED order, so first-index ties must be explicit."""
+    better = (bd < run_d) | ((bd == run_d) & (bi < run_i))
+    return jnp.where(better, bd, run_d), jnp.where(better, bi, run_i)
+
+
+def _fold_flavor(structured, engine, precision, factors):
+    """Per-block top-1 via the shared fold kernels on a FRESH state (so
+    the in-order strict-< merge inside them is irrelevant) — returns
+    (blk_min, blk_global_idx)."""
+    def fold(bufs, rq, parts, rs, col0, n_valid):
+        nq = rq.shape[0]
+        d0 = jnp.full((nq,), jnp.inf, jnp.float32)
+        i0 = jnp.zeros((nq,), jnp.int32)
+        if factors is not None:
+            return _fold_block_parts_q(d0, i0, bufs, rq, parts, rs, col0,
+                                       n_valid, factors)
+        if structured:
+            return _fold_block_parts(d0, i0, bufs, rq, parts, rs, col0,
+                                     n_valid, precision)
+        return _fold_block(d0, i0, bufs[0], rq, parts[0], col0, n_valid,
+                           engine, precision, rs)
+    return fold
+
+
+def _build_ring_qcache(embed_fn, mesh: Mesh, axis: str, cdtype,
+                       structured: bool, bounds, q_block: int):
+    """Fill one q_block slice of every chip's LOCAL query cache."""
+    cache = _mesh_fn_cache(embed_fn)
+    key = ("ring_qcache", mesh, axis, jnp.dtype(cdtype).name, structured,
+           bounds, q_block)
+    if key not in cache:
+        fused = _fused_mesh(embed_fn, cdtype, structured, bounds)
+        as_parts = _as_parts(fused, structured)
+
+        def local(q_loc, bufs, rq, qs):
+            blk = jax.lax.dynamic_slice_in_dim(q_loc, qs, q_block, 0)
+            parts, r = as_parts(blk)
+            bufs = [jax.lax.dynamic_update_slice(
+                b, p, (qs,) + (0,) * (b.ndim - 1))
+                for b, p in zip(bufs, parts)]
+            rq = jax.lax.dynamic_update_slice(rq, r, (qs,))
+            return bufs, rq
+
+        def wrapper(q_sh, bufs, rq, qs):
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), [P(axis)] * len(bufs), P(axis), P()),
+                out_specs=([P(axis)] * len(bufs), P(axis)),
+                check_vma=False)
+            return fn(q_sh, bufs, rq, qs)
+
+        cache[key] = jax.jit(wrapper, donate_argnums=(1, 2))
+    return cache[key]
+
+
+def _build_ring_step(embed_fn, mesh: Mesh, axis: str, cdtype,
+                     structured: bool, engine: str, s_block: int,
+                     precision, bounds):
+    """One ring step: every chip featurizes its home block once, then the
+    EMBEDDED block makes n_dev-1 ppermute hops; each hop folds into the
+    local query shard's running (min, argmin) with lexicographic
+    tie-break."""
+    cache = _mesh_fn_cache(embed_fn)
+    key = ("ring_step", mesh, axis, jnp.dtype(cdtype).name, structured,
+           engine, s_block, precision, bounds)
+    if key not in cache:
+        n_dev = mesh.shape[axis]
+        fused = _fused_mesh(embed_fn, cdtype, structured, bounds)
+        as_parts = _as_parts(fused, structured)
+        factors = _quant_factors(bounds) if bounds is not None else None
+        fold = _fold_flavor(structured, engine, precision, factors)
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+        def local(syn_loc, bufs, rq, run_d, run_i, ss, shard_p, n_s):
+            blk = jax.lax.dynamic_slice_in_dim(syn_loc, ss, s_block, 0)
+            parts, rs = as_parts(blk)
+            me = jax.lax.axis_index(axis)
+            rd, ri = run_d[0], run_i[0]
+            for t in range(n_dev):
+                origin = jnp.mod(me - t, n_dev)
+                col0 = origin * shard_p + ss
+                n_valid = jnp.clip(n_s - col0, 0, s_block)
+                bd, bi = fold(bufs, rq, parts, rs, col0, n_valid)
+                rd, ri = _lex_merge(rd, ri, bd, bi)
+                if t != n_dev - 1:
+                    parts = [jax.lax.ppermute(p, axis, perm)
+                             for p in parts]
+                    rs = jax.lax.ppermute(rs, axis, perm)
+            return rd[None], ri[None]
+
+        state_spec = P(axis, None)
+
+        def wrapper(syn_sh, bufs, rq, run_d, run_i, ss, shard_p, n_s):
+            fn = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), [P(axis)] * len(bufs), P(axis),
+                          state_spec, state_spec, P(), P(), P()),
+                out_specs=(state_spec, state_spec), check_vma=False)
+            return fn(syn_sh, bufs, rq, run_d, run_i, ss, shard_p, n_s)
+
+        cache[key] = jax.jit(wrapper)
+    return cache[key]
+
+
+def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
+                             engine: str = "gemm", q_block: int = 2048,
+                             s_block: int = 2048,
+                             precision: str | None = None,
+                             axis: str | None = None
+                             ) -> tuple[Array, Array]:
+    """Ring-pass 1-NN at streamed-engine parity (see module comment):
+    featurize-once per row, embedded blocks rotate over ICI, per-chip
+    memory flat in both set sizes. Supports gemm/exact/taps/taps-int8."""
+    axis = axis or mesh.axis_names[0]
+    structured = engine in ("taps", "taps-int8")
+    quantize = engine == "taps-int8"
+    if engine == "pallas":
+        engine = "gemm"
+    if engine not in ("gemm", "exact", "taps", "taps-int8"):
+        raise ValueError(f"unknown ring kNN engine {engine!r}")
+    n_dev = mesh.shape[axis]
+    n_q, n_s = queries.shape[0], syn.shape[0]
+    data_sh = NamedSharding(mesh, P(axis))
+    state_sh = NamedSharding(mesh, P(axis, None))
+
+    probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+        (1,) + tuple(queries.shape[1:]), queries.dtype))
+    probe = list(probe) if structured else [probe]
+    bounds = None
+    if quantize:
+        bounds = _part_bounds_for(embed_fn, queries)
+        cdtype = jnp.int8
+    else:
+        demote = (_stream_demote(probe[0].dtype, precision)
+                  and engine != "exact")
+        cdtype = jnp.bfloat16 if demote else probe[0].dtype
+
+    # per-shard row counts padded to whole blocks (global index integrity
+    # under clamped dynamic_slice — same rationale as the sharded layout)
+    q_shard = -(-n_q // n_dev)
+    q_block = min(q_block, q_shard)
+    q_shard_p = -(-q_shard // q_block) * q_block
+    shard = -(-n_s // n_dev)
+    s_block = min(s_block, shard)
+    shard_p = -(-shard // s_block) * s_block
+
+    def _pad_put(x, per_shard):
+        total = per_shard * n_dev
+        if isinstance(x, np.ndarray):
+            if total > x.shape[0]:
+                x = np.concatenate(
+                    [x, np.zeros((total - x.shape[0],) + x.shape[1:],
+                                 x.dtype)])
+            return jax.device_put(x, data_sh)
+        return jax.device_put(pad_rows(x, total), data_sh)
+
+    # NOTE: query padding goes at the END of the flat array, so only the
+    # LAST chip's shard carries pad rows and real row r lives on chip
+    # r // q_shard_p at local offset r % q_shard_p — global order is
+    # preserved when the sharded result is flattened back.
+    q_sh = _pad_put(queries, q_shard_p)
+    syn_sh = _pad_put(syn, shard_p)
+
+    zeros_sh = jax.jit(lambda shape, dt: jnp.zeros(shape, dt),
+                       static_argnums=(0, 1), out_shardings=data_sh)
+    bufs = [zeros_sh((q_shard_p * n_dev,) + tuple(p.shape[1:]), cdtype)
+            for p in probe]
+    rq = zeros_sh((q_shard_p * n_dev,), jnp.float32)
+    qcache = _build_ring_qcache(embed_fn, mesh, axis, cdtype, structured,
+                                bounds, q_block)
+    qs = 0
+    while qs < q_shard_p:
+        bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
+        qs += q_block
+
+    init = jax.jit(
+        lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
+                       jnp.zeros(shape, jnp.int32)),
+        static_argnums=0, out_shardings=(state_sh, state_sh))
+    run_d, run_i = init((n_dev, q_shard_p))
+    ss = 0
+    while ss < shard_p:
+        try:
+            step = _build_ring_step(embed_fn, mesh, axis, cdtype,
+                                    structured, engine, s_block,
+                                    precision, bounds)
+            new_d, new_i = step(syn_sh, bufs, rq, run_d, run_i,
+                                jnp.int32(ss), jnp.int32(shard_p),
+                                jnp.int32(n_s))
+        except Exception as e:
+            if not _is_oom(e) or s_block <= 1:
+                raise
+            s_block = max(1, s_block // 2)
+            print(f"[knn-ring] synthetic stream OOM; s_block={s_block} "
+                  f"(resuming at row {ss})")
+            continue
+        run_d, run_i = new_d, new_i
+        ss += s_block
+
+    d = run_d.reshape(-1)[:n_q]
+    i = run_i.reshape(-1)[:n_q]
+    # mask pad-query rows of interior shards is unnecessary: padding is
+    # tail-only (see NOTE above), so the first n_q flat rows are real
+    return d, i

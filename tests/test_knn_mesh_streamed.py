@@ -280,3 +280,122 @@ def test_two_pass_mesh_int8_exact(rng, mesh):
         s_block=4, return_cert=True)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
     np.testing.assert_allclose(np.asarray(d), np.asarray(d0), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# streamed ring (>HBM layout at streamed-engine parity)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("engine", ["gemm", "exact", "taps", "taps-int8"])
+def test_ring_streamed_equals_single_device(rng, mesh, engine):
+    q, s = _data(rng, n_q=19, n_s=53)
+    if engine in ("taps", "taps-int8"):
+        emb = make_embed_parts_fn("l2")
+    else:
+        emb = make_embed_fn("l2")
+    d1, i1 = ks.knn_argmin_ring_streamed(emb, q, s, mesh, engine=engine,
+                                         q_block=4, s_block=4)
+    if engine == "taps-int8":
+        from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
+        d0, i0 = knn_argmin_streamed_parts(
+            make_embed_parts_fn("l2"), jnp.asarray(q), jnp.asarray(s),
+            q_block=4, s_block=4, quantize=True)
+    else:
+        d0, i0 = knn_argmin_streamed(
+            make_embed_fn("l2"), jnp.asarray(q), jnp.asarray(s),
+            engine="gemm" if engine == "taps" else engine,
+            q_block=4, s_block=4)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_ring_streamed_cross_shard_ties(rng, mesh):
+    q, s = _data(rng, n_q=10, n_s=41)
+    s[33] = s[2]
+    s[40] = s[2]
+    q[1] = s[2]
+    embed = make_embed_fn("l2")
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=4, s_block=4)
+    assert int(np.asarray(i1)[1]) == 2  # earliest global duplicate wins
+    d0, i0 = knn_argmin_streamed(make_embed_fn("l2"), jnp.asarray(q),
+                                 jnp.asarray(s), q_block=4, s_block=4)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_ring_streamed_featurizes_each_row_once(rng, mesh, monkeypatch):
+    """The old ring re-featurized every arriving image shard on every
+    chip (n_dev tower passes per synthetic row). The streamed ring must
+    run ONE ring step per s_block and one qcache fill per q_block —
+    embeddings rotate, towers don't rerun."""
+    counts = {"step": 0, "qcache": 0}
+    orig_step, orig_q = ks._build_ring_step, ks._build_ring_qcache
+
+    def counting(builder, key):
+        def build(*a, **kw):
+            fn = builder(*a, **kw)
+
+            def wrapped(*args, **kw2):
+                counts[key] += 1
+                return fn(*args, **kw2)
+            return wrapped
+        return build
+
+    monkeypatch.setattr(ks, "_build_ring_step",
+                        counting(orig_step, "step"))
+    monkeypatch.setattr(ks, "_build_ring_qcache",
+                        counting(orig_q, "qcache"))
+    q, s = _data(rng, n_q=16, n_s=64)
+    embed = make_embed_fn("l2")
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=2, s_block=4)
+    # q_shard_p = 2 rows/chip -> 1 fill; shard_p = 8 -> 2 ring steps
+    assert counts["qcache"] == 1
+    assert counts["step"] == 2
+    d0, i0 = knn_argmin_streamed(make_embed_fn("l2"), jnp.asarray(q),
+                                 jnp.asarray(s), q_block=8, s_block=8)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_ring_streamed_oom_resume(rng, mesh, monkeypatch):
+    q, s = _data(rng, n_q=8, n_s=32)
+    embed = make_embed_fn("l2")
+    orig = ks._build_ring_step
+    state = {"raised": False}
+
+    def flaky(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(*args, **kw2):
+            if not state["raised"]:
+                state["raised"] = True
+                raise RuntimeError("RESOURCE_EXHAUSTED (fault injection)")
+            return fn(*args, **kw2)
+        return wrapped
+
+    monkeypatch.setattr(ks, "_build_ring_step", flaky)
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=4, s_block=4)
+    assert state["raised"]
+    d0, i0 = knn_argmin_streamed(make_embed_fn("l2"), jnp.asarray(q),
+                                 jnp.asarray(s), q_block=8, s_block=8)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_attack_driver_ring_layout(rng, mesh):
+    from dataclasses import replace
+
+    from ganleaks_tpu.attack.fbb import attack_arrays
+    from ganleaks_tpu.config import AttackConfig
+
+    syn = rng.uniform(-1, 1, (12, 16, 16, 3)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    neg = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    base = AttackConfig(distance="l2", engine="taps", query_block=8,
+                        syn_block=4, resolution=16)
+    ref = attack_arrays(base, syn, pos, neg)
+    ring = replace(base, shard_layout="ring")
+    out = attack_arrays(ring, syn, pos, neg, mesh=mesh)
+    np.testing.assert_array_equal(ref["pos_nn_idx"], out["pos_nn_idx"])
+    np.testing.assert_allclose(ref["pos_loss"], out["pos_loss"],
+                               rtol=1e-5)
