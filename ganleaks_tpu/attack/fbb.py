@@ -105,6 +105,11 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             # >HBM layout: both sets sharded, featurize-once, EMBEDDED
             # blocks rotate over ICI (parallel/knn_shard streamed ring);
             # supports every engine incl. taps/taps-int8
+            if cfg.two_pass:
+                raise ValueError("two_pass + shard_layout='ring' is not "
+                                 "supported; use shard_layout='sharded' "
+                                 "(silently ignoring either flag would "
+                                 "betray the config)")
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_ring_streamed)
             emb = (build_embed_fn(cfg, structured=True)

@@ -104,6 +104,11 @@ def main() -> None:
     syn = make(jax.random.key(2), n_s)
     queries = make(jax.random.key(3), n_q)
     _sync(syn)
+    # discard run 0: first execution of a new jit chain on this backend
+    # can be ~15 s even after compile (see memory/PERF notes)
+    d, _ = knn_argmin_streamed_parts(embed, queries, syn, q_block=B,
+                                     s_block=B)
+    _sync(d)
     t0 = time.perf_counter()
     d, i = knn_argmin_streamed_parts(embed, queries, syn, q_block=B,
                                      s_block=B)
