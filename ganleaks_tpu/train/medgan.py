@@ -19,6 +19,7 @@ import os
 from functools import partial
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import numpy as np
 import optax
 from flax import struct
@@ -27,6 +28,7 @@ from ganleaks_tpu.config import MedGANConfig
 from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir
 from ganleaks_tpu.models.medgan import Autoencoder, Discriminator, Generator
 from ganleaks_tpu.train.state import ModelState, adam_torch
+from ganleaks_tpu.parallel.mesh import data_parallel_mesh, shard_batch
 from ganleaks_tpu.utils.checkpoint import save_state
 from ganleaks_tpu.utils.logging import MetricsLogger
 
@@ -180,9 +182,14 @@ def train(cfg: MedGANConfig, data: np.ndarray | None = None,
     n = len(data)
     batches_per_epoch = max(1, n // cfg.batch_size)
 
+    mesh = data_parallel_mesh(cfg.mesh_shape)
+    if mesh is not None:  # DP: params replicated, batch sharded
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+
     def sample_batch():  # with replacement, like the reference sampler
         idx = host_rng.integers(0, n, size=min(cfg.batch_size, n))
-        return data_j[jnp.asarray(idx)]
+        b = data_j[jnp.asarray(idx)]
+        return shard_batch(b, mesh) if mesh is not None else b
 
     # phase 1: AE pretrain (train.py:125-148)
     ae = state.ae

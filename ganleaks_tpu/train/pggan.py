@@ -24,12 +24,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import numpy as np
 
 from ganleaks_tpu.config import PGGANConfig
 from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir, write_synthetic_artifacts
 from ganleaks_tpu.io.data import DeviceDataset, load_train_images, random_hflip
 from ganleaks_tpu.io.images import nearest_resize
+from ganleaks_tpu.parallel.mesh import data_parallel_mesh, shard_batch
 from ganleaks_tpu.models.pggan import Discriminator, Generator, init_progressive
 from ganleaks_tpu.train.dcgan import _log_sample_grid, resolve_grid_dir
 from ganleaks_tpu.train.gan import GANState
@@ -155,6 +157,9 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
     key = jax.random.key(cfg.seed)
     max_steps = int(log2(cfg.image_size / 4))
     state = build_state(cfg, key, max_steps)
+    mesh = data_parallel_mesh(cfg.mesh_shape)
+    if mesh is not None:  # DP: params replicated, batch sharded, psum'd
+        state = jax.device_put(state, NamedSharding(mesh, P()))
 
     if images is None:
         images = load_train_images(cfg.data_path, cfg.image_size)
@@ -178,6 +183,8 @@ def train(cfg: PGGANConfig, images: np.ndarray | None = None,
                 if cfg.hflip:  # RandomHorizontalFlip(p=0.5), train.py:83
                     batch = random_hflip(
                         batch, jax.random.fold_in(step_key, 2))
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
                 state, metrics = pggan_train_step(
                     state, batch, jnp.float32(alpha), step_key, steps,
                     cfg.lambda_gp, cfg.drift,

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import numpy as np
 from flax import struct
 from flax.core import FrozenDict
@@ -32,6 +33,7 @@ from flax.core import FrozenDict
 from ganleaks_tpu.config import VAEGANConfig
 from ganleaks_tpu.io.artifacts import check_folder, dump_params
 from ganleaks_tpu.io.data import DeviceDataset
+from ganleaks_tpu.parallel.mesh import data_parallel_mesh, shard_batch
 from ganleaks_tpu.io.images import get_filepaths_from_dir, read_image, save_png
 from ganleaks_tpu.models.vaegan import (
     Discriminator,
@@ -217,12 +219,19 @@ def train(cfg: VAEGANConfig, images: np.ndarray | None = None,
     else:
         ds = DeviceDataset(images, seed=cfg.seed)
 
+    mesh = data_parallel_mesh(cfg.mesh_shape)
+    if mesh is not None:  # DP: params replicated, batches sharded
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+
     step_key = jax.random.fold_in(key, 1)
     metrics = {}
     batch_iter = _forever_batches(ds, cfg.batch_size)
     for epoch in range(int(state.epoch), cfg.nepoch):
         for _ in range(cfg.steps_per_epoch):
             b1, b2, b3, b4 = (next(batch_iter) for _ in range(4))
+            if mesh is not None:
+                b1, b2, b3, b4 = (shard_batch(b, mesh)
+                                  for b in (b1, b2, b3, b4))
             step_key = jax.random.fold_in(step_key, 1)
             state, metrics = vaegan_train_step(state, b1, b2, b3, b4,
                                                step_key)

@@ -20,11 +20,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import numpy as np
 
 from ganleaks_tpu.config import WGANGPConfig
 from ganleaks_tpu.io.artifacts import check_folder, timestamp_dir, write_synthetic_artifacts
 from ganleaks_tpu.io.data import DeviceDataset, load_train_images
+from ganleaks_tpu.parallel.mesh import data_parallel_mesh, shard_batch
 from ganleaks_tpu.models.wgangp import Critic, Generator
 from ganleaks_tpu.train.gan import GANState
 from ganleaks_tpu.train.sample import sample_to_host
@@ -115,6 +117,9 @@ def train(cfg: WGANGPConfig, images: np.ndarray | None = None,
         images = load_train_images(cfg.data_path, cfg.image_size)
     ds = DeviceDataset(images, seed=cfg.seed)
     state = build_state(cfg, key)
+    mesh = data_parallel_mesh(cfg.mesh_shape)
+    if mesh is not None:  # DP: params replicated, batch sharded, psum'd
+        state = jax.device_put(state, NamedSharding(mesh, P()))
 
     meter = Throughput()
     step_key = jax.random.fold_in(key, 1)
@@ -122,6 +127,8 @@ def train(cfg: WGANGPConfig, images: np.ndarray | None = None,
     for epoch in range(cfg.num_epochs):
         for batch in ds.epoch(cfg.batch_size):
             step_key = jax.random.fold_in(step_key, 1)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             state, metrics = wgangp_train_step(
                 state, batch, step_key, critic_iter=cfg.critic_iter,
                 lambda_gp=cfg.lambda_gp)

@@ -120,3 +120,74 @@ def test_dryrun_falls_back_to_subprocess_on_body_failure(monkeypatch):
         assert "synthetic backend failure" in str(e)
     else:
         raise AssertionError("subprocess-mode failure must propagate")
+
+
+def _dp_state_and_batch(state, batch, mesh):
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    batch = jax.device_put(
+        batch, NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1)))))
+    return state, batch
+
+
+def test_wgangp_dp_step_matches_single_device(rng):
+    """mesh_shape is honored by EVERY victim trainer (round 3); the
+    WGAN-GP step (grad-of-grad GP) must be DP-equal like DCGAN's."""
+    from ganleaks_tpu.config import WGANGPConfig
+    from ganleaks_tpu.train import wgangp as wtrain
+
+    cfg = WGANGPConfig(ngf=8, ndf=8, nz=16, batch_size=16)
+    real = jnp.asarray(rng.uniform(-1, 1, (16, 64, 64, 3))
+                       .astype(np.float32))
+    key = jax.random.key(1)
+    s1 = wtrain.build_state(cfg, jax.random.key(0))
+    o1, m1 = wtrain.wgangp_train_step(s1, real, key, critic_iter=2,
+                                      lambda_gp=10.0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    s2 = wtrain.build_state(cfg, jax.random.key(0))
+    s2, real_sh = _dp_state_and_batch(s2, real, mesh)
+    o2, m2 = wtrain.wgangp_train_step(s2, real_sh, key, critic_iter=2,
+                                      lambda_gp=10.0)
+    np.testing.assert_allclose(float(m1["loss_critic"]),
+                               float(m2["loss_critic"]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(o1.gen.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(o2.gen.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_medgan_dp_step_matches_single_device(rng):
+    from ganleaks_tpu.config import MedGANConfig
+    from ganleaks_tpu.train import medgan as mtrain
+
+    cfg = MedGANConfig(batch_size=16)
+    rows = jnp.asarray((rng.uniform(size=(16, 32)) < 0.3)
+                       .astype(np.float32))
+    key = jax.random.key(1)
+    s1 = mtrain.build_state(cfg, 32, jax.random.key(0))
+    o1, m1 = mtrain.medgan_train_step(s1, rows, key)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    s2 = mtrain.build_state(cfg, 32, jax.random.key(0))
+    s2, rows_sh = _dp_state_and_batch(s2, rows, mesh)
+    o2, m2 = mtrain.medgan_train_step(s2, rows_sh, key)
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m2["d_loss"]),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(o1.gen.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(o2.gen.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_trainers_honor_mesh_shape(rng, tmp_path, monkeypatch):
+    """train() loops build the DP mesh from cfg.mesh_shape and shard
+    batches — smoke on the 8-device CPU mesh for the trainers newly wired
+    in round 3 (DCGAN already had it)."""
+    monkeypatch.chdir(tmp_path)
+    from ganleaks_tpu.config import WGANGPConfig
+    from ganleaks_tpu.train import wgangp as wtrain
+
+    imgs = rng.uniform(-1, 1, (16, 64, 64, 3)).astype(np.float32)
+    cfg = WGANGPConfig(ngf=8, ndf=8, nz=16, batch_size=16, num_epochs=1,
+                       mesh_shape=(8,), critic_iter=1, save_model=False,
+                       generate=False)
+    state = wtrain.train(cfg, images=imgs)
+    assert np.isfinite(float(jax.tree_util.tree_leaves(
+        state.gen.params)[0].sum()))
