@@ -18,6 +18,9 @@ def main(argv=None) -> None:
     ap.add_argument("--batch_size", type=int, default=50)
     ap.add_argument("--sqrtm", default="newton-schulz",
                     choices=["newton-schulz", "eigh", "scipy"])
+    ap.add_argument("--n_chips", type=int, default=1,
+                    help=">1 shards the Inception featurize batch-wise "
+                         "over a device mesh")
     args = ap.parse_args(argv)
 
     if args.weights:
@@ -30,8 +33,14 @@ def main(argv=None) -> None:
               "convert torchvision weights for standard numbers")
         params = init_inception_params()
 
+    mesh = None
+    if args.n_chips > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:args.n_chips]), ("data",))
     value = fid_from_paths(params, args.path[0], args.path[1],
-                           args.batch_size, args.sqrtm)
+                           args.batch_size, args.sqrtm, mesh=mesh)
     print("FID: ", value)
 
 

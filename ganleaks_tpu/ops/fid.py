@@ -33,14 +33,36 @@ def init_inception_params(seed: int = 0) -> dict:
 
 
 def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
-                    drop_remainder: bool = True) -> np.ndarray:
+                    drop_remainder: bool = True, mesh=None) -> np.ndarray:
     """pool_3 activations for [0,255]-range NHWC images
-    (``z_fid.py:68-105``; its array path drops the last partial batch)."""
+    (``z_fid.py:68-105``; its array path drops the last partial batch).
+
+    ``mesh``: optional 1-D device mesh — each batch is sharded over its
+    leading axis (one tower per chip, no cross-chip comms until the tiny
+    replicated output), so featurize throughput scales linearly in chips.
+    ``batch_size`` should then be a multiple of the mesh size."""
     model = InceptionV3Pool3()
 
-    @jax.jit
-    def forward(x):
-        return model.apply(params, preprocess(x))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        rep = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P(axis, None, None, None))
+        params = jax.device_put(params, rep)
+
+        @partial(jax.jit, out_shardings=rep)
+        def forward(x):
+            return model.apply(params, preprocess(x))
+    else:
+        data_sh = None
+
+        @jax.jit
+        def forward(x):
+            return model.apply(params, preprocess(x))
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, data_sh) if data_sh is not None else x
 
     n = len(images)
     if batch_size > n:
@@ -53,9 +75,9 @@ def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
             pad = batch_size - len(batch)
             padded = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
                                                      batch.dtype)])
-            outs.append(np.asarray(forward(jnp.asarray(padded)))[:len(batch)])
+            outs.append(np.asarray(forward(put(padded)))[:len(batch)])
         else:
-            outs.append(np.asarray(forward(jnp.asarray(batch))))
+            outs.append(np.asarray(forward(put(batch))))
     return np.concatenate(outs)
 
 
@@ -151,19 +173,21 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
 
 def fid_from_image_sets(params: dict, images1: np.ndarray,
                         images2: np.ndarray, batch_size: int = 50,
-                        method: str = "newton-schulz") -> float:
+                        method: str = "newton-schulz",
+                        mesh=None) -> float:
     """End-to-end FID between two [0,255] image sets
-    (``calculate_fid_given_paths``, ``z_fid.py:303-317``)."""
+    (``calculate_fid_given_paths``, ``z_fid.py:303-317``). ``mesh``
+    shards the Inception featurize batch-wise across chips."""
     m1, s1 = activation_statistics(
-        get_activations(params, images1, batch_size))
+        get_activations(params, images1, batch_size, mesh=mesh))
     m2, s2 = activation_statistics(
-        get_activations(params, images2, batch_size))
+        get_activations(params, images2, batch_size, mesh=mesh))
     return frechet_distance(m1, s1, m2, s2, method=method)
 
 
 def fid_from_paths(params: dict, path1: str, path2: str,
                    batch_size: int = 50,
-                   method: str = "newton-schulz") -> float:
+                   method: str = "newton-schulz", mesh=None) -> float:
     """Path flavor: each arg is an image dir (jpg+png) or a precomputed
     ``.npz`` with mu/sigma (``z_fid.py:286-300``)."""
     stats = []
@@ -181,6 +205,6 @@ def fid_from_paths(params: dict, path1: str, path2: str,
             imgs = np.array([np.asarray(PIL.Image.open(str(fn)),
                                         dtype=np.float32) for fn in files])
             stats.append(activation_statistics(
-                get_activations(params, imgs, batch_size)))
+                get_activations(params, imgs, batch_size, mesh=mesh)))
     (m1, s1), (m2, s2) = stats
     return frechet_distance(m1, s1, m2, s2, method=method)

@@ -121,3 +121,21 @@ def test_z_split_rejects_bad_num_images(tmp_path, rng):
                       output_dir2=str(tmp_path / "n"), num_same_id=4)
     with pytest.raises(AssertionError):
         run_split(cfg)
+
+
+def test_fid_activations_on_mesh_match_single_device(rng):
+    """Mesh-sharded Inception featurize (one tower per chip) equals the
+    single-device path."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ganleaks_tpu.ops.fid import get_activations, init_inception_params
+
+    params = init_inception_params(0)
+    imgs = rng.uniform(0, 255, (16, 32, 32, 3)).astype(np.float32)
+    a0 = get_activations(params, imgs, batch_size=8)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    a1 = get_activations(params, imgs, batch_size=8, mesh=mesh)
+    assert a0.shape == a1.shape == (16, 2048)
+    np.testing.assert_allclose(a0, a1, rtol=2e-4, atol=2e-5)
