@@ -165,10 +165,49 @@ def run_gen_bench(num: int = 4096, batch: int = 512) -> dict:
     return {"images_per_sec": num / dt, "seconds": dt, "num": num}
 
 
+def _device_watchdog(timeout_s: float = 180.0) -> None:
+    """Fail loudly if the device never answers, instead of hanging the
+    caller forever: the tunneled TPU backend has been observed to wedge
+    (connection accepted, no progress, ~0 CPU). One tiny committed
+    computation must complete within ``timeout_s`` or we emit an honest
+    error record and exit non-zero."""
+    import os
+    import threading
+
+    done = threading.Event()
+    err: list[str] = []
+
+    def probe() -> None:
+        try:
+            out = np.asarray(
+                jax.device_put(np.zeros(()), jax.devices()[0]) + 1.0)
+            assert float(out) == 1.0
+            done.set()
+        except Exception as e:  # broken backend (e.g. libtpu skew)
+            err.append(f"{type(e).__name__}: {e}")
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "fbb LPIPS kNN query-pairs/sec (device unresponsive)",
+            "value": 0, "unit": "query-pairs/sec", "vs_baseline": 0,
+            "error": f"device did not answer a trivial computation "
+                     f"within {timeout_s:.0f}s (tunnel hang)"}), flush=True)
+        os._exit(3)
+    if err:
+        print(json.dumps({
+            "metric": "fbb LPIPS kNN query-pairs/sec (device broken)",
+            "value": 0, "unit": "query-pairs/sec", "vs_baseline": 0,
+            "error": err[0]}), flush=True)
+        os._exit(3)
+
+
 def main() -> None:
     from ganleaks_tpu.cli.common import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    _device_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--metric", default="knn", choices=["knn", "gen"])
