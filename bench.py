@@ -267,7 +267,7 @@ def main() -> None:
         # A broken flagship engine must NOT produce a clean-looking
         # artifact: outside --quick the failure is fatal; in quick/smoke
         # mode we degrade to the XLA gemm fold but stamp the JSON line.
-        if engine in ("pallas", "taps") and args.quick:
+        if engine in ("pallas", "taps", "taps-int8") and args.quick:
             fallback_err = f"{type(e).__name__}: {e}"
             print(f"# {engine} engine failed ({fallback_err}); "
                   "falling back to gemm", flush=True)

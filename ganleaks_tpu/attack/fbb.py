@@ -91,7 +91,21 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
     """
     logger = logger or MetricsLogger(echo=False)
+    # every embed closure is built ONCE: the per-closure compile caches
+    # (fused embed+norms, mesh shard_map wrappers) live on the closure
+    # object, so rebuilding per search() would recompile the whole tower
+    # for the neg query set (~40s apiece on remote-compile backends)
+    structured = cfg.engine in ("taps", "taps-int8")
     embed = build_embed_fn(cfg)
+    embed_struct = build_embed_fn(cfg, structured=True) if structured \
+        else None
+    embed_lo = embed_hi = None
+    if cfg.two_pass:
+        lo_cfg = replace(cfg, dtype="bfloat16",
+                         lpips_compute_dtype="bfloat16")
+        hi_cfg = replace(cfg, dtype="float32", lpips_compute_dtype=None)
+        embed_lo = build_embed_fn(lo_cfg, structured=structured)
+        embed_hi = build_embed_fn(hi_cfg)
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77
         syn = syn[:truncate_to_batches(len(syn), cfg.BATCH_SIZE)]
@@ -112,25 +126,17 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                                  "betray the config)")
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_ring_streamed)
-            emb = (build_embed_fn(cfg, structured=True)
-                   if cfg.engine in ("taps", "taps-int8") else embed)
             d, i = knn_argmin_ring_streamed(
-                emb, q_j, syn_j, mesh, engine=cfg.engine,
-                q_block=cfg.query_block, s_block=cfg.syn_block)
+                embed_struct if structured else embed, q_j, syn_j, mesh,
+                engine=cfg.engine, q_block=cfg.query_block,
+                s_block=cfg.syn_block)
         elif mesh is not None and cfg.two_pass:
             # sharded streamed pass 1, replicated exact re-rank, runtime
             # exactness certificate (parallel/knn_shard)
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_two_pass_mesh)
-            lo_cfg = replace(cfg, dtype="bfloat16",
-                             lpips_compute_dtype="bfloat16")
-            hi_cfg = replace(cfg, dtype="float32",
-                             lpips_compute_dtype=None)
             d, i = knn_argmin_two_pass_mesh(
-                build_embed_fn(lo_cfg,
-                               structured=cfg.engine in ("taps",
-                                                         "taps-int8")),
-                build_embed_fn(hi_cfg), q_j, syn_j, mesh,
+                embed_lo, embed_hi, q_j, syn_j, mesh,
                 k=cfg.two_pass_k, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
         elif mesh is not None:
@@ -139,35 +145,27 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             # OOM resume; 'taps' keeps its structured parts per shard
             from ganleaks_tpu.parallel.knn_shard import (
                 knn_argmin_sharded_streamed)
-            emb = (build_embed_fn(cfg, structured=True)
-                   if cfg.engine in ("taps", "taps-int8") else embed)
             d, i = knn_argmin_sharded_streamed(
-                emb, q_j, syn_j, mesh, engine=cfg.engine,
-                q_block=cfg.query_block, s_block=cfg.syn_block)
+                embed_struct if structured else embed, q_j, syn_j, mesh,
+                engine=cfg.engine, q_block=cfg.query_block,
+                s_block=cfg.syn_block)
         elif cfg.two_pass:
-            # exact-index throughput mode: bf16 tower candidates + f32
-            # re-rank at precision='highest' (ops/knn.knn_argmin_two_pass);
-            # engine='taps' runs pass 1 on structured embeddings
+            # exact-index throughput mode: reduced-precision tower
+            # candidates + f32 re-rank at precision='highest' with the
+            # runtime exactness certificate (ops/knn.knn_argmin_two_pass)
             from ganleaks_tpu.ops.knn import knn_argmin_two_pass
-            lo_cfg = replace(cfg, dtype="bfloat16",
-                             lpips_compute_dtype="bfloat16")
-            hi_cfg = replace(cfg, dtype="float32",
-                             lpips_compute_dtype=None)
             d, i = knn_argmin_two_pass(
-                build_embed_fn(lo_cfg,
-                               structured=cfg.engine in ("taps",
-                                                         "taps-int8")),
-                build_embed_fn(hi_cfg), q_j,
+                embed_lo, embed_hi, q_j,
                 syn_j, k=cfg.two_pass_k, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block)
-        elif cfg.engine in ("taps", "taps-int8"):
+        elif structured:
             # tap-structured embeddings: no flat relayout (docs/PERF.md);
             # 'taps-int8' streams int8 parts with static rigorous scales
             # (2.36x MXU rate, half the cache bytes; quantized scores —
             # add two_pass=True for certified exact results)
             from ganleaks_tpu.ops.knn import knn_argmin_streamed_parts
             d, i = knn_argmin_streamed_parts(
-                build_embed_fn(cfg, structured=True), q_j, syn_j,
+                embed_struct, q_j, syn_j,
                 q_block=cfg.query_block, s_block=cfg.syn_block,
                 quantize=cfg.engine == "taps-int8")
         else:

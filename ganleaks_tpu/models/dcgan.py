@@ -40,7 +40,7 @@ def _n_mid_blocks(image_size: int) -> int:
     >= 8 follow the same doubling/halving schedule — used by the tiny dryrun
     variants, default unchanged."""
     n = (image_size // 8).bit_length() - 1
-    if image_size != 8 * 2 ** n:
+    if image_size < 8 or image_size != 8 * 2 ** n:
         raise ValueError(f"image_size must be a power of 2 >= 8, "
                          f"got {image_size}")
     return n

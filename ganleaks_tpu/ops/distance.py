@@ -98,9 +98,17 @@ def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
             d *= dim
         return 1.0 / float(d) ** 0.5
 
+    def pix_dot_bound(sample_shape):
+        d = 1
+        for dim in sample_shape:
+            d *= dim
+        # every pixel element can saturate to +-127(+rounding)
+        return float(d) * 127.5 ** 2
+
     if distance == "l2":
         embed = lambda x: [pixel_embedding(x).astype(dtype)]
         embed.part_bound_fn = lambda shape: [pix_bound(shape)]
+        embed.part_int_dot_bound_fn = lambda shape: [pix_dot_bound(shape)]
         return embed
     if distance == "l2-lpips":
         if lpips_parts is None:
@@ -111,6 +119,10 @@ def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
         if hasattr(lpips_parts, "part_bound_fn"):
             embed.part_bound_fn = lambda shape: (
                 [pix_bound(shape)] + lpips_parts.part_bound_fn(shape))
+        if hasattr(lpips_parts, "part_int_dot_bound_fn"):
+            embed.part_int_dot_bound_fn = lambda shape: (
+                [pix_dot_bound(shape)]
+                + lpips_parts.part_int_dot_bound_fn(shape))
         return embed
     raise ValueError(f"unknown distance {distance!r}")
 

@@ -46,23 +46,32 @@ def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         axis = mesh.axis_names[0]
+        n_dev = mesh.shape[axis]
         rep = NamedSharding(mesh, P())
         data_sh = NamedSharding(mesh, P(axis, None, None, None))
         params = jax.device_put(params, rep)
 
         @partial(jax.jit, out_shardings=rep)
-        def forward(x):
+        def forward_mesh(x):
             return model.apply(params, preprocess(x))
+
+        def forward(x):
+            # pad rows to a mesh multiple (any batch_size/directory size
+            # works), slice the replicated output back
+            rows = len(x)
+            pad = (-rows) % n_dev
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            out = forward_mesh(jax.device_put(jnp.asarray(x), data_sh))
+            return out[:rows]
     else:
-        data_sh = None
-
         @jax.jit
-        def forward(x):
+        def forward_jit(x):
             return model.apply(params, preprocess(x))
 
-    def put(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, data_sh) if data_sh is not None else x
+        def forward(x):
+            return forward_jit(jnp.asarray(x))
 
     n = len(images)
     if batch_size > n:
@@ -75,9 +84,9 @@ def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
             pad = batch_size - len(batch)
             padded = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:],
                                                      batch.dtype)])
-            outs.append(np.asarray(forward(put(padded)))[:len(batch)])
+            outs.append(np.asarray(forward(padded))[:len(batch)])
         else:
-            outs.append(np.asarray(forward(put(batch))))
+            outs.append(np.asarray(forward(batch)))
     return np.concatenate(outs)
 
 

@@ -537,12 +537,36 @@ def _quant_abs_err(bounds: tuple, part_shapes) -> float:
 
 
 def _part_bounds_for(embed_fn, queries) -> tuple:
+    """Static quantization scales for ``embed_fn``'s parts, plus the
+    int32-accumulator safety check: each part's s8xs8->s32 dot must not
+    be able to overflow (e.g. the pixel part at >=256x256 images could
+    reach 127^2 * H*W*C > 2^31 — a silent wrap, not an error)."""
     if not hasattr(embed_fn, "part_bound_fn"):
         raise ValueError(
             "quantize=True needs embed_fn.part_bound_fn (per-part "
             "elementwise magnitude bounds; see "
             "ops/distance.make_embed_parts_fn)")
-    return tuple(embed_fn.part_bound_fn(tuple(queries.shape[1:])))
+    shape = tuple(queries.shape[1:])
+    bounds = tuple(embed_fn.part_bound_fn(shape))
+    if hasattr(embed_fn, "part_int_dot_bound_fn"):
+        dot_bounds = embed_fn.part_int_dot_bound_fn(shape)
+    else:  # generic worst case: every element saturates
+        probe = jax.eval_shape(embed_fn, jax.ShapeDtypeStruct(
+            (1,) + shape, queries.dtype))
+        dot_bounds = []
+        for pshape in [tuple(p.shape[1:]) for p in probe]:
+            k = 1
+            for dim in pshape:
+                k *= dim
+            dot_bounds.append(float(k) * 127.5 ** 2)
+    for l, db in enumerate(dot_bounds):
+        if db >= 2.0 ** 31:
+            raise ValueError(
+                f"int8 engine disabled: part {l}'s cross dot can reach "
+                f"{db:.3g} >= 2^31 and would silently wrap the int32 "
+                f"accumulator at this input shape {shape}; use "
+                f"engine='taps' (bf16) instead")
+    return bounds
 
 
 @partial(jax.jit, static_argnames=("factors",))
@@ -959,8 +983,10 @@ def two_pass_certificate(d_exact: np.ndarray, topk_d: np.ndarray,
     rigorous (bf16 unit roundoff), the tower part is empirical — measured
     bf16-vs-f32 LPIPS embedding error is ~2e-3 relative, so the 2e-2
     default used for demoted streams carries a 10x margin. Queries that
-    fail fall back to the full f32 search (see callers), so a too-small
-    eta costs correctness nothing — it only spends more fallback work.
+    fail fall back to the full f32 search (see callers), so a too-LARGE
+    eta costs correctness nothing — it only spends more fallback work; a
+    too-small eta is the unsound direction (it certifies results the
+    error model cannot actually guarantee), hence the 10x margin.
     """
     rq = np.maximum(np.asarray(rq, np.float64), 0.0)
     topk_max = np.asarray(topk_d, np.float64)[:, -1]
@@ -1055,8 +1081,14 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
 
     probe_dt = (list(probe)[0] if engine in ("taps", "taps-int8")
                 else probe).dtype
-    demoted = (_stream_demote(probe_dt, None) and engine != "exact") \
-        or engine == "taps-int8"  # int8 towers run bf16 upstream
+    # 'reduced precision anywhere in pass 1' must select the 2e-2 eta:
+    # a natively-bf16 embed_lo (what attack/fbb and bench construct) is
+    # just as bf16 as an f32 one demoted by the streamer — keying on
+    # _stream_demote alone under-estimated eta 1000x for exactly the
+    # production configuration and would wrongly certify near-ties
+    demoted = (jnp.dtype(probe_dt) == jnp.dtype(jnp.bfloat16)
+               or (_stream_demote(probe_dt, None) and engine != "exact")
+               or engine == "taps-int8")  # int8 towers run bf16 upstream
     eta = cert_eta if cert_eta is not None else _default_cert_eta(demoted)
     cert = two_pass_certificate(np.asarray(d), np.asarray(topk_d),
                                 np.asarray(rq), float(np.max(rs_max)),
@@ -1066,7 +1098,8 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
         print(f"[knn] two-pass certificate failed for {bad.size} "
               f"queries; exact-f32 fallback search")
         d_fix, i_fix = knn_argmin_streamed(
-            embed_hi, queries[bad], syn, engine="gemm",
+            embed_hi, queries[bad], syn,
+            engine="gemm" if engine != "exact" else engine,
             q_block=min(q_block, 1024), s_block=min(s_block, 1024),
             query_cache_bytes=min(query_cache_bytes, 2 << 30),
             precision="highest")

@@ -237,16 +237,35 @@ def lpips_part_bounds(params: dict, sample_shape: tuple,
     return bounds
 
 
+def lpips_part_int_dot_bounds(params: dict,
+                              sample_shape: tuple) -> list[float]:
+    """Per-part bound on |int8 cross dot|: per pixel the channel vector is
+    unit-normalized, so its int8 image has L2 <= 127 + 0.5*sqrt(C)
+    (rounding), and Cauchy-Schwarz gives |dot per pixel| <= that squared;
+    summed over H_l*W_l pixels. Feeds the int32-accumulator safety check
+    of the quantized engine (``ops/knn._part_bounds_for``)."""
+    feats = jax.eval_shape(
+        lambda x: _features(params, x),
+        jax.ShapeDtypeStruct((1,) + tuple(sample_shape), jnp.float32))
+    out = []
+    for fl in feats:
+        _n, h, wd, c = fl.shape
+        out.append(float(h * wd) * (127.0 + 0.5 * float(c) ** 0.5) ** 2)
+    return out
+
+
 def lpips_embed_parts_fn(params: dict, weight: float = 0.2,
                          dtype=jnp.float32, compute_dtype=None):
     """Closure form of :func:`lpips_embed_parts` for
     ``ops/distance.make_embed_parts_fn``. Carries ``part_bound_fn`` (per-
-    part elementwise magnitude bounds) for the int8 quantized engine."""
+    part elementwise magnitude bounds) and ``part_int_dot_bound_fn`` (int8
+    accumulator safety) for the quantized engine."""
     def embed(x: Array) -> list[Array]:
         return lpips_embed_parts(params, x, weight=weight, dtype=dtype,
                                  compute_dtype=compute_dtype)
     embed.part_bound_fn = lambda sample_shape: lpips_part_bounds(
         params, sample_shape, weight)
+    embed.part_int_dot_bound_fn = lambda sample_shape:         lpips_part_int_dot_bounds(params, sample_shape)
     return embed
 
 

@@ -619,7 +619,9 @@ def _build_ring_qcache(embed_fn, mesh: Mesh, axis: str, cdtype,
                 check_vma=False)
             return fn(q_sh, bufs, rq, qs)
 
-        cache[key] = jax.jit(wrapper, donate_argnums=(1, 2))
+        # NO donation: an OOM inside the fill must leave the partially
+        # filled cache intact so the halving resume below can continue
+        cache[key] = jax.jit(wrapper)
     return cache[key]
 
 
@@ -736,11 +738,19 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     bufs = [zeros_sh((q_shard_p * n_dev,) + tuple(p.shape[1:]), cdtype)
             for p in probe]
     rq = zeros_sh((q_shard_p * n_dev,), jnp.float32)
-    qcache = _build_ring_qcache(embed_fn, mesh, axis, cdtype, structured,
-                                bounds, q_block)
     qs = 0
     while qs < q_shard_p:
-        bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
+        try:
+            qcache = _build_ring_qcache(embed_fn, mesh, axis, cdtype,
+                                        structured, bounds, q_block)
+            bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
+        except Exception as e:
+            if not _is_oom(e) or q_block <= 1:
+                raise
+            q_block = max(1, q_block // 2)
+            print(f"[knn-ring] query featurize OOM; q_block={q_block} "
+                  f"(resuming at local row {qs})")
+            continue
         qs += q_block
 
     init = jax.jit(

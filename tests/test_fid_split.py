@@ -139,3 +139,22 @@ def test_fid_activations_on_mesh_match_single_device(rng):
     a1 = get_activations(params, imgs, batch_size=8, mesh=mesh)
     assert a0.shape == a1.shape == (16, 2048)
     np.testing.assert_allclose(a0, a1, rtol=2e-4, atol=2e-5)
+
+
+def test_fid_mesh_handles_indivisible_batches(rng):
+    """batch_size (reference default 50) need not divide the mesh size:
+    rows pad to a mesh multiple per batch and the output slices back."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ganleaks_tpu.ops.fid import get_activations, init_inception_params
+
+    params = init_inception_params(0)
+    imgs = rng.uniform(0, 255, (13, 32, 32, 3)).astype(np.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    a0 = get_activations(params, imgs, batch_size=6, drop_remainder=False)
+    a1 = get_activations(params, imgs, batch_size=6, drop_remainder=False,
+                         mesh=mesh)
+    assert a1.shape == (13, 2048)
+    np.testing.assert_allclose(a0, a1, rtol=2e-4, atol=2e-5)

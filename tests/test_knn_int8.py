@@ -140,3 +140,53 @@ def test_quantize_requires_part_bounds():
     q = jnp.zeros((4, 8)); s = jnp.zeros((8, 8))
     with pytest.raises(ValueError, match="part_bound_fn"):
         knn_argmin_streamed_parts(bare_embed, q, s, quantize=True)
+
+
+def test_int8_refuses_when_int32_accumulator_could_wrap():
+    """Pixel part at >=256x256: 127^2 * H*W*C exceeds int32 — the engine
+    must refuse loudly instead of silently wrapping distances."""
+    emb = make_embed_parts_fn("l2")
+    q = jnp.zeros((2, 256, 256, 3))
+    s = jnp.zeros((4, 256, 256, 3))
+    with pytest.raises(ValueError, match="int32"):
+        knn_argmin_streamed_parts(emb, q, s, quantize=True)
+    # 64x64 (the attack's resolution) stays comfortably safe
+    assert _part_bounds_for(emb, jnp.zeros((1, 64, 64, 3)))
+
+
+def test_two_pass_default_eta_counts_native_bf16_as_reduced(rng,
+                                                            monkeypatch):
+    """Certificate-soundness regression: embed_lo built natively in bf16
+    (what attack/fbb and bench construct) must select the demoted
+    (2e-2) default eta, not the 1e-6 f32 one — keying on the streamer's
+    demotion alone under-estimated eps ~1000x and wrongly certified
+    bf16-error near-ties."""
+    import ganleaks_tpu.ops.knn as knn
+
+    seen = {}
+    orig = knn._default_cert_eta
+
+    def spy(demoted):
+        seen["demoted"] = demoted
+        return orig(demoted)
+
+    monkeypatch.setattr(knn, "_default_cert_eta", spy)
+    q, s = _sets(rng, n_q=3, n_s=9)
+
+    def embed_lo(x):
+        return jnp.asarray(x).reshape(x.shape[0], -1).astype(jnp.bfloat16)
+
+    def embed_hi(x):
+        return jnp.asarray(x).reshape(x.shape[0], -1)
+
+    knn.knn_argmin_two_pass(embed_lo, embed_hi, jnp.asarray(q),
+                            jnp.asarray(s), k=2, engine="gemm",
+                            q_block=4, s_block=4)
+    assert seen["demoted"] is True
+
+    # f32 embed_lo keeps the tight default off-TPU
+    seen.clear()
+    knn.knn_argmin_two_pass(embed_hi, embed_hi, jnp.asarray(q),
+                            jnp.asarray(s), k=2, engine="gemm",
+                            q_block=4, s_block=4)
+    assert seen["demoted"] is False
