@@ -295,4 +295,25 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("GANLEAKS_BENCH_CHILD"):
+        main()
+        sys.exit(0)
+    # The tunneled backend wedges intermittently and a wedged client
+    # process cannot recover (jax initializes the backend once) — retry
+    # the whole bench in fresh subprocesses. A failed attempt prints its
+    # error-stamped JSON line; a successful one prints the real record
+    # LAST, which is what artifact parsers read.
+    env = dict(os.environ, GANLEAKS_BENCH_CHILD="1")
+    rc = 1
+    for attempt in range(3):
+        rc = subprocess.call([sys.executable] + sys.argv, env=env)
+        if rc != 3:  # 0 = done; anything but the watchdog code = real bug
+            break
+        print(f"# bench attempt {attempt + 1} hit an unresponsive device; "
+              "retrying in a fresh process", file=sys.stderr, flush=True)
+        time.sleep(90)
+    sys.exit(rc)
