@@ -214,7 +214,7 @@ def main() -> None:
     # defaults = the fastest measured mode on v5e (docs/PERF.md):
     # bf16 LPIPS tower + tap-structured embeddings quantized to int8
     # streams (static rigorous scales, exact f32 norms) — 52.7M pairs/s
-    # at 2000x20000, 143.9M at the 20000x100000 north star
+    # at 2000x20000, 171.5M at the 20000x100000 north star
     ap.add_argument("--engine", default="taps-int8",
                     choices=["gemm", "pallas", "exact", "taps",
                              "taps-int8"])

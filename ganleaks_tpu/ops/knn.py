@@ -320,9 +320,23 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
         end = min(n_q, qs0 + chunk_rows)
         n_rows = end - qs0
         padded = n_rows + (-n_rows) % q_block
-        bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
-                for p in probe]
-        rq = jnp.zeros((padded,), jnp.float32)
+        try:
+            bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
+                    for p in probe]
+            rq = jnp.zeros((padded,), jnp.float32)
+            jax.block_until_ready(rq)  # surface alloc failures HERE
+        except Exception as e:
+            # an over-ambitious query_cache_bytes must degrade to more
+            # chunks, not kill the run (an 11 GB cache request on a
+            # 16 GB chip OOMs at allocation, where no other resume path
+            # can help)
+            if not _is_oom(e) or chunk_rows <= q_block:
+                raise
+            chunk_rows = max(q_block,
+                             (chunk_rows // 2) // q_block * q_block)
+            print(f"[knn] query cache allocation OOM; "
+                  f"chunk_rows={chunk_rows} (more synthetic sweeps)")
+            continue
         qs = qs0
         while qs < end:
             try:
@@ -369,7 +383,7 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
 def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
-                        query_cache_bytes: int = 4 << 30,
+                        query_cache_bytes: int = 8 << 30,
                         precision: str | None = None
                         ) -> tuple[Array, Array]:
     """1-NN where embeddings are produced on the fly, block by block —
@@ -677,7 +691,7 @@ def _phys_row_bytes(part_shapes, itemsize: int) -> int:
 
 def knn_argmin_streamed_parts(embed_fn, queries: Array, syn: Array, *,
                               q_block: int = 2048, s_block: int = 2048,
-                              query_cache_bytes: int = 4 << 30,
+                              query_cache_bytes: int = 8 << 30,
                               precision: str | None = None,
                               quantize: bool = False
                               ) -> tuple[Array, Array]:
@@ -792,7 +806,7 @@ def _topk_state_hooks(fold_one, k: int, with_info: bool):
 def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
                             k: int = 8, q_block: int = 2048,
                             s_block: int = 2048,
-                            query_cache_bytes: int = 4 << 30,
+                            query_cache_bytes: int = 8 << 30,
                             with_info: bool = False,
                             quantize: bool = False):
     """Per-query k smallest distances + indices over a STRUCTURED
@@ -891,7 +905,7 @@ def _merge_topk(run_d: Array, run_i: Array, blk_d: Array, blk_i: Array,
 def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                       engine: str = "gemm", q_block: int = 2048,
                       s_block: int = 2048,
-                      query_cache_bytes: int = 4 << 30,
+                      query_cache_bytes: int = 8 << 30,
                       with_info: bool = False):
     """Per-query k smallest distances + their indices, streamed like
     :func:`knn_argmin_streamed` (embeddings produced block by block,
@@ -1027,7 +1041,7 @@ def _rerank_candidates(embed_hi, queries: Array, syn, cand: np.ndarray, *,
 def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
                         k: int = 8, engine: str = "gemm",
                         q_block: int = 2048, s_block: int = 2048,
-                        query_cache_bytes: int = 4 << 30,
+                        query_cache_bytes: int = 8 << 30,
                         cert_eta: float | None = None,
                         return_cert: bool = False):
     """Throughput mode with exact-index re-ranking and a runtime

@@ -382,9 +382,19 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         end = min(n_q, qs0 + chunk_rows)
         n_rows = end - qs0
         padded = n_rows + (-n_rows) % q_block
-        bufs = [zeros_rep((padded,) + tuple(p.shape[1:]), cdtype)
-                for p in probe]
-        rq = zeros_rep((padded,), jnp.float32)
+        try:
+            bufs = [zeros_rep((padded,) + tuple(p.shape[1:]), cdtype)
+                    for p in probe]
+            rq = zeros_rep((padded,), jnp.float32)
+            jax.block_until_ready(rq)  # surface alloc failures HERE
+        except Exception as e:
+            if not _is_oom(e) or chunk_rows <= q_block:
+                raise
+            chunk_rows = max(q_block,
+                             (chunk_rows // 2) // q_block * q_block)
+            print(f"[knn-mesh] query cache allocation OOM; "
+                  f"chunk_rows={chunk_rows} (more synthetic sweeps)")
+            continue
         qs = qs0
         while qs < end:
             blk, _ = _slice_pad(queries, qs, q_block)
@@ -453,7 +463,7 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
 def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                                 engine: str = "gemm", q_block: int = 2048,
                                 s_block: int = 2048,
-                                query_cache_bytes: int = 4 << 30,
+                                query_cache_bytes: int = 8 << 30,
                                 precision: str | None = None,
                                 axis: str | None = None
                                 ) -> tuple[Array, Array]:
@@ -482,7 +492,7 @@ def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
 def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                               k: int = 8, engine: str = "gemm",
                               q_block: int = 2048, s_block: int = 2048,
-                              query_cache_bytes: int = 4 << 30,
+                              query_cache_bytes: int = 8 << 30,
                               axis: str | None = None,
                               with_info: bool = False):
     """Per-query k smallest distances + indices on a mesh (pass 1 of the
@@ -505,7 +515,7 @@ def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
 def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
                              *, k: int = 8, engine: str = "gemm",
                              q_block: int = 2048, s_block: int = 2048,
-                             query_cache_bytes: int = 4 << 30,
+                             query_cache_bytes: int = 8 << 30,
                              cert_eta: float | None = None,
                              axis: str | None = None,
                              return_cert: bool = False):
