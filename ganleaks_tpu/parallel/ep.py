@@ -211,3 +211,144 @@ def make_ep_privdcgan_step(mesh: Mesh, n_splits: int,
         return new, metrics
 
     return jax.jit(step, donate_argnums=0)
+
+
+def make_ep_privpggan_step(mesh: Mesh, n_splits: int,
+                           privacy_ratio: float, dp_on: bool, steps: int,
+                           lambda_gp: float = 10.0, drift: float = 0.001,
+                           axis: str = "split"):
+    """Expert-parallel privPGGAN: one (generator, critic) split per device
+    (same layout as :func:`make_ep_privdcgan_step`); the shared private
+    critic updates with psum-averaged gradients, mathematically identical
+    to the vmapped all-splits step (equal split sizes, sum-of-per-split
+    losses => per-split grads are local). PGGAN modules are BN-free, so
+    only params/opt_state travel. ``alpha`` is a traced call argument
+    (per-batch fade-in, ``privPGGAN.py:170-176``)."""
+    from ganleaks_tpu.train.pggan import gradient_penalty_fn
+
+    assert mesh.shape[axis] == n_splits
+
+    def step_fn(state: PrivGANState, real: Array, alpha, rng: Array):
+        genS, criticS, priv = state.genS, state.discS, state.priv
+
+        gen_specs = split_axis_specs(
+            {"params": genS.params, "opt_state": genS.opt_state},
+            n_splits, axis)
+        disc_specs = split_axis_specs(
+            {"params": criticS.params, "opt_state": criticS.opt_state},
+            n_splits, axis)
+        priv_tree = {"params": priv.params, "opt_state": priv.opt_state}
+        priv_specs = jax.tree_util.tree_map(lambda _: P(), priv_tree)
+
+        def local(gen_tree, disc_tree, priv_tree, real_s, alpha, rng):
+            me = jax.lax.axis_index(axis)
+            unstack = lambda t: jax.tree_util.tree_map(
+                lambda x: x[0] if getattr(x, "ndim", 0) >= 1 else x, t)
+            gp_t = unstack(gen_tree)
+            cp_t = unstack(disc_tree)
+            real_l = real_s[0]
+            batch = real_l.shape[0]
+            nz = gp_t["params"]["initial_convt"]["kernel"].shape[3]
+
+            rng, k_noise, k_eps, k_lab = jax.random.split(rng, 4)
+            # global-shaped randomness sliced per split: bitwise-matches
+            # the vmapped single-device step (train/priv.py:294-297)
+            noise = jax.random.normal(
+                k_noise, (n_splits, batch, nz), real_l.dtype)[me]
+            eps = jax.random.uniform(
+                k_eps, (n_splits, batch, 1, 1, 1), real_l.dtype)[me]
+            r_all = jax.random.randint(k_lab, (n_splits, batch), 0,
+                                       n_splits - 1)
+            gen_y = r_all[me] + (r_all[me] >= me)
+
+            fake = genS.apply_fn({"params": gp_t["params"]}, noise, steps,
+                                 alpha)
+            fake_sg = jax.lax.stop_gradient(fake)
+
+            # --- local critic step (privPGGAN.py:161-183) ---
+            def c_loss_fn(cp):
+                c_real = criticS.apply_fn({"params": cp}, real_l, steps,
+                                          alpha)
+                c_fake = criticS.apply_fn({"params": cp}, fake_sg, steps,
+                                          alpha)
+                gpen = gradient_penalty_fn(criticS.apply_fn, cp, real_l,
+                                           fake_sg, eps, steps, alpha)
+                return (-(jnp.mean(c_real) - jnp.mean(c_fake))
+                        + lambda_gp * gpen
+                        + drift * jnp.mean(jnp.square(c_real)))
+
+            loss_c, c_grads = jax.value_and_grad(c_loss_fn)(cp_t["params"])
+            c_updates, c_opt = criticS.tx.update(c_grads, cp_t["opt_state"],
+                                                 cp_t["params"])
+            c_params = optax.apply_updates(cp_t["params"], c_updates)
+
+            # --- shared private critic: psum-averaged grads
+            #     (resolution gate applied by the caller via dp_on) ---
+            priv_params = priv_tree["params"]
+            priv_opt = priv_tree["opt_state"]
+            loss_dp = jnp.zeros(())
+            labels = jnp.full((batch,), me, jnp.int32)
+            if dp_on:
+                def p_loss_fn(p):
+                    logits = priv.apply_fn({"params": p}, fake_sg, steps,
+                                           alpha)
+                    return softmax_cross_entropy_on_probs(logits, labels)
+
+                loss_dp, p_grads = jax.value_and_grad(p_loss_fn)(
+                    priv_params)
+                p_grads = jax.lax.pmean(p_grads, axis)
+                loss_dp = jax.lax.pmean(loss_dp, axis)
+                p_updates, priv_opt = priv.tx.update(p_grads, priv_opt,
+                                                     priv_params)
+                priv_params = optax.apply_updates(priv_params, p_updates)
+
+            # --- local G step against updated critic + shared priv ---
+            def g_loss_fn(gp):
+                fake2 = genS.apply_fn({"params": gp}, noise, steps, alpha)
+                out1 = criticS.apply_fn({"params": c_params}, fake2,
+                                        steps, alpha)
+                out2 = priv.apply_fn({"params": priv_params}, fake2,
+                                     steps, alpha)
+                return (-jnp.mean(out1) + privacy_ratio
+                        * softmax_cross_entropy_on_probs(out2, gen_y))
+
+            loss_g, g_grads = jax.value_and_grad(g_loss_fn)(gp_t["params"])
+            g_updates, g_opt = genS.tx.update(g_grads, gp_t["opt_state"],
+                                              gp_t["params"])
+            g_params = optax.apply_updates(gp_t["params"], g_updates)
+
+            expand = lambda t: jax.tree_util.tree_map(
+                lambda x: x[None] if getattr(x, "ndim", 0) >= 1
+                or not hasattr(x, "ndim") else x,
+                jax.tree_util.tree_map(jnp.asarray, t))
+            gen_out = expand({"params": g_params, "opt_state": g_opt})
+            disc_out = expand({"params": c_params, "opt_state": c_opt})
+            priv_out = {"params": priv_params, "opt_state": priv_opt}
+            metrics = {"loss_critic": jax.lax.pmean(loss_c, axis),
+                       "loss_dp": loss_dp,
+                       "loss_gen": jax.lax.pmean(loss_g, axis)}
+            return gen_out, disc_out, priv_out, metrics
+
+        mapped = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(gen_specs, disc_specs, priv_specs,
+                      P(axis, *([None] * 4)), P(), P()),
+            out_specs=(gen_specs, disc_specs, priv_specs,
+                       jax.tree_util.tree_map(
+                           lambda _: P(), {"loss_critic": 0, "loss_dp": 0,
+                                           "loss_gen": 0})),
+            check_vma=False)
+
+        gen_tree = {"params": genS.params, "opt_state": genS.opt_state}
+        disc_tree = {"params": criticS.params,
+                     "opt_state": criticS.opt_state}
+        gen_out, disc_out, priv_out, metrics = mapped(
+            gen_tree, disc_tree, priv_tree, real, alpha, rng)
+        new = state.replace(
+            step=state.step + 1,
+            genS=genS.replace(**gen_out),
+            discS=criticS.replace(**disc_out),
+            priv=priv.replace(**priv_out))
+        return new, metrics
+
+    return jax.jit(step_fn, donate_argnums=0)
