@@ -15,3 +15,10 @@ from ganleaks_tpu.ops.lpips.lpips import (  # noqa: F401
     pnet_pair,
     save_lpips_params,
 )
+from ganleaks_tpu.ops.lpips.train2afc import (  # noqa: F401
+    bce_ranking_loss,
+    dist2logit,
+    init_dist2logit_params,
+    lpips_pair_train,
+    train_2afc,
+)

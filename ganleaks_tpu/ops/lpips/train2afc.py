@@ -1,0 +1,246 @@
+"""LPIPS lin-head training on 2AFC human judgments.
+
+TPU-native port of the vendored LPIPS *training* machinery that the
+round-2 inventory recorded as a scope cut — now implemented:
+
+* ``Dist2LogitLayer`` (``networks_basic.py:184-199``): three 1x1 convs
+  (here plain dense layers over the 5-feature vector
+  ``(d0, d1, d0-d1, d0/(d1+eps), d1/(d0+eps))``) with LeakyReLU(0.2)
+  and a final sigmoid — maps a distance pair to a predicted human
+  judgment in [0, 1];
+* ``BCERankingLoss`` (``networks_basic.py:202-219``): BCE between that
+  prediction and the observed judge fraction (the reference passes
+  ``judge*2-1`` in and maps back with ``(judge+1)/2`` —
+  ``dist_model.py:201`` + ``networks_basic.py:215`` — a round trip, so
+  the loss target IS the raw judge in [0, 1]);
+* the train step (``dist_model.py:166-196``): two LPIPS forwards with
+  the lin-head dropout active (``NetLinLayer`` is built with
+  ``use_dropout=True`` for net-lin, ``networks_basic.py:121,228``),
+  Adam(lr, betas=(0.5, 0.999)) over lin heads + rank net
+  (``dist_model.py:98-101``), then ``clamp_weights`` projecting the
+  lin-head weights to >= 0 (``dist_model.py:172-175`` clamps the 1x1
+  convs of ``self.net`` only — the rank net is a separate module and is
+  NOT clamped);
+* ``update_learning_rate`` (``dist_model.py:244-251``): linear decay by
+  ``lr/nepoch_decay`` per epoch;
+* ``compute_accuracy`` (``dist_model.py:208-212``).
+
+Everything is functional: one jitted step, parameters as pytrees, the
+LR injected as a traced scalar so decay never retraces. The backbone is
+frozen by default (the reference's shipped ``vgg.pth`` heads were
+trained this way, ``pnet_tune=False``); pass ``tune_backbone=True`` to
+co-train the tower (the ``pnet_tune`` branch, ``networks_basic.py:98``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ganleaks_tpu.ops.lpips.lpips import (
+    _features,
+    normalize_tensor,
+)
+
+Array = jax.Array
+
+_LOG_CLAMP = -100.0  # torch.nn.BCELoss clamps log terms at -100
+
+
+# ---------------------------------------------------------------------------
+# Dist2LogitLayer / BCERankingLoss
+# ---------------------------------------------------------------------------
+
+def init_dist2logit_params(key, chn_mid: int = 32) -> dict:
+    """Torch Conv2d default init (kaiming_uniform(a=sqrt(5)) == U(+-1/
+    sqrt(fan_in)) for both weight and bias) on the (5 -> mid -> mid -> 1)
+    stack of ``networks_basic.py:187-196``."""
+    ks = jax.random.split(key, 6)
+    dims = [(5, chn_mid), (chn_mid, chn_mid), (chn_mid, 1)]
+    params = {}
+    for i, (fan_in, fan_out) in enumerate(dims):
+        bound = 1.0 / float(np.sqrt(fan_in))
+        params[f"w{i}"] = jax.random.uniform(
+            ks[2 * i], (fan_in, fan_out), jnp.float32, -bound, bound)
+        params[f"b{i}"] = jax.random.uniform(
+            ks[2 * i + 1], (fan_out,), jnp.float32, -bound, bound)
+    return params
+
+
+def dist2logit(params: dict, d0: Array, d1: Array,
+               eps: float = 0.1) -> Array:
+    """Predicted P(human prefers p1) from a distance pair
+    (``networks_basic.py:198-199``). ``d0``/``d1`` are (N,) distances."""
+    x = jnp.stack([d0, d1, d0 - d1, d0 / (d1 + eps), d1 / (d0 + eps)],
+                  axis=-1)
+    h = jax.nn.leaky_relu(x @ params["w0"] + params["b0"], 0.2)
+    h = jax.nn.leaky_relu(h @ params["w1"] + params["b1"], 0.2)
+    return jax.nn.sigmoid(h @ params["w2"] + params["b2"])[..., 0]
+
+
+def bce_ranking_loss(params: dict, d0: Array, d1: Array,
+                     judge: Array) -> Array:
+    """Mean BCE between :func:`dist2logit` and ``judge`` in [0, 1]
+    (``networks_basic.py:214-219``; the ``judge*2-1`` / ``(judge+1)/2``
+    round trip of ``dist_model.py:201`` cancels). Log terms clamped at
+    -100 exactly like ``torch.nn.BCELoss``."""
+    p = dist2logit(params, d0, d1)
+    logp = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log1mp = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    return -jnp.mean(judge * logp + (1.0 - judge) * log1mp)
+
+
+def compute_accuracy(d0s, d1s, judges) -> float:
+    """Fraction of (weighted) human agreement with the metric's ranking
+    (``dist_model.py:208-212``): ties count toward p0."""
+    d1_lt_d0 = (np.asarray(d1s) < np.asarray(d0s)).astype(np.float64)
+    j = np.asarray(judges, np.float64).reshape(d1_lt_d0.shape)
+    return float(np.mean(d1_lt_d0 * j + (1.0 - d1_lt_d0) * (1.0 - j)))
+
+
+# ---------------------------------------------------------------------------
+# training-mode LPIPS forward (lin-head dropout active)
+# ---------------------------------------------------------------------------
+
+def lpips_pair_train(params: dict, x: Array, y: Array, rng) -> Array:
+    """``lpips_pair`` with the net-lin training dropout: NetLinLayer is
+    ``Dropout(p=0.5)`` then the 1x1 conv (``networks_basic.py:228``), so
+    in train mode each squared-diff channel map is masked/2x-rescaled
+    before the lin head. Inference (:func:`~.lpips.lpips_pair`) has the
+    dropout as a no-op, as in torch eval mode."""
+    fx = _features(params, x)
+    fy = _features(params, y)
+    keys = jax.random.split(rng, len(fx))
+    val = 0.0
+    for fl_x, fl_y, w, k in zip(fx, fy, params["lins"], keys):
+        diff = jnp.square(normalize_tensor(fl_x) - normalize_tensor(fl_y))
+        keep = jax.random.bernoulli(k, 0.5, diff.shape)
+        diff = jnp.where(keep, diff * 2.0, 0.0)
+        lin = jnp.sum(diff * w.astype(diff.dtype), axis=-1)
+        val = val + jnp.mean(lin, axis=(1, 2))
+    return val
+
+
+# ---------------------------------------------------------------------------
+# the trainer
+# ---------------------------------------------------------------------------
+
+def linear_lr_schedule(lr: float, epochs: int, decay_epochs: int,
+                       epoch: int) -> float:
+    """Constant for ``epochs``, then ``update_learning_rate`` applied per
+    epoch: ``lr_new = lr_old - lr/decay_epochs`` (``dist_model.py:244-251``,
+    floored at 0 — the reference would go negative if over-called)."""
+    if epoch < epochs or decay_epochs <= 0:
+        return lr
+    return max(0.0, lr * (1.0 - (epoch - epochs + 1) / decay_epochs))
+
+
+def make_2afc_step(lpips_params: dict, *, tune_backbone: bool = False,
+                   beta1: float = 0.5):
+    """Build the jitted 2AFC train step.
+
+    Returns ``(step, opt_init)`` where
+    ``step(trainable, opt_state, batch, rng, lr) -> (trainable,
+    opt_state, loss)`` and ``trainable`` is ``{"lins": ..., "rank": ...}``
+    (plus ``"convs"`` under ``tune_backbone``). Static pieces
+    (backbone structure, frozen convs) are closed over; ``lr`` rides
+    ``optax.inject_hyperparams`` so the decay schedule never retraces.
+    """
+    frozen = dict(lpips_params)
+    opt = optax.inject_hyperparams(optax.adam)(
+        learning_rate=0.0, b1=beta1, b2=0.999)
+
+    def full_params(trainable):
+        p = dict(frozen)
+        p["lins"] = trainable["lins"]
+        if tune_backbone:
+            p["convs"] = trainable["convs"]
+        return p
+
+    def loss_fn(trainable, batch, rng):
+        p = full_params(trainable)
+        k0, k1 = jax.random.split(rng)
+        d0 = lpips_pair_train(p, batch["ref"], batch["p0"], k0)
+        d1 = lpips_pair_train(p, batch["ref"], batch["p1"], k1)
+        loss = bce_ranking_loss(trainable["rank"], d0, d1,
+                                batch["judge"].reshape(d0.shape))
+        return loss, (d0, d1)
+
+    @jax.jit
+    def step(trainable, opt_state, batch, rng, lr):
+        opt_state.hyperparams["learning_rate"] = lr
+        (loss, (d0, d1)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, batch, rng)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        # clamp_weights (dist_model.py:172-175): lin heads >= 0; the rank
+        # net is not part of self.net and stays unclamped
+        trainable["lins"] = [jnp.maximum(w, 0.0)
+                             for w in trainable["lins"]]
+        return trainable, opt_state, loss, d0, d1
+
+    return step, opt
+
+
+def train_2afc(lpips_params: dict, triplet_batches, *,
+               epochs: int = 5, decay_epochs: int = 5, lr: float = 1e-4,
+               beta1: float = 0.5, seed: int = 0,
+               tune_backbone: bool = False,
+               rank_params: dict | None = None):
+    """Train the LPIPS lin heads (+ rank net) on 2AFC judgments.
+
+    ``triplet_batches``: a sequence (or callable returning an iterable)
+    of dicts with ``ref``/``p0``/``p1`` NHWC [-1,1] image batches and
+    ``judge`` in [0, 1] — the same convention as
+    :func:`~.scoring.score_2afc_dataset`. Runs ``epochs`` at constant
+    ``lr`` then ``decay_epochs`` of linear decay (the reference's
+    ``train.py --nepoch/--nepoch_decay`` split), Adam betas
+    (``beta1``, 0.999) per ``dist_model.py:100``.
+
+    Returns ``(lpips_params, rank_params, history)`` with per-epoch
+    ``{"loss", "acc", "lr"}`` rows.
+    """
+    key = jax.random.key(seed)
+    if rank_params is None:
+        key, sub = jax.random.split(key)
+        rank_params = init_dist2logit_params(sub)
+    trainable = {"lins": [jnp.asarray(w, jnp.float32)
+                          for w in lpips_params["lins"]],
+                 "rank": rank_params}
+    if tune_backbone:
+        trainable["convs"] = lpips_params["convs"]
+
+    step, opt = make_2afc_step(lpips_params, tune_backbone=tune_backbone,
+                               beta1=beta1)
+    opt_state = opt.init(trainable)
+
+    history = []
+    total = epochs + max(0, decay_epochs)
+    for epoch in range(total):
+        cur_lr = linear_lr_schedule(lr, epochs, decay_epochs, epoch)
+        batches = (triplet_batches() if callable(triplet_batches)
+                   else triplet_batches)
+        losses, d0s, d1s, gts = [], [], [], []
+        for batch in batches:
+            key, sub = jax.random.split(key)
+            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            trainable, opt_state, loss, d0, d1 = step(
+                trainable, opt_state, dev, sub, jnp.float32(cur_lr))
+            losses.append(loss)
+            d0s.append(d0)
+            d1s.append(d1)
+            gts.append(np.asarray(batch["judge"]).reshape(-1))
+        acc = compute_accuracy(np.concatenate([np.asarray(d) for d in d0s]),
+                               np.concatenate([np.asarray(d) for d in d1s]),
+                               np.concatenate(gts))
+        history.append({"loss": float(np.mean([np.asarray(l)
+                                               for l in losses])),
+                        "acc": acc, "lr": cur_lr})
+
+    out = dict(lpips_params)
+    out["lins"] = trainable["lins"]
+    if tune_backbone:
+        out["convs"] = trainable["convs"]
+    return out, trainable["rank"], history

@@ -1,0 +1,238 @@
+"""The 2AFC lin-head trainer (reference ``dist_model.py:166-251`` +
+``networks_basic.py:184-219``): torch-oracle parity of the ranking loss
+stack, the clamp/decay mechanics, and a real (tiny) training run that
+has to beat the untrained metric on held-in judgments."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from ganleaks_tpu.ops.lpips.lpips import init_lpips_params, lpips_pair
+from ganleaks_tpu.ops.lpips.scoring import score_2afc
+from ganleaks_tpu.ops.lpips.train2afc import (
+    bce_ranking_loss,
+    compute_accuracy,
+    dist2logit,
+    init_dist2logit_params,
+    linear_lr_schedule,
+    lpips_pair_train,
+    train_2afc,
+)
+
+
+# --- torch oracles (verbatim reference modules, rebuilt) -------------------
+
+class TorchDist2Logit(tnn.Module):
+    """networks_basic.py:184-199."""
+
+    def __init__(self, chn_mid=32):
+        super().__init__()
+        layers = [tnn.Conv2d(5, chn_mid, 1, stride=1, padding=0, bias=True),
+                  tnn.LeakyReLU(0.2, True),
+                  tnn.Conv2d(chn_mid, chn_mid, 1, stride=1, padding=0,
+                             bias=True),
+                  tnn.LeakyReLU(0.2, True),
+                  tnn.Conv2d(chn_mid, 1, 1, stride=1, padding=0, bias=True),
+                  tnn.Sigmoid()]
+        self.model = tnn.Sequential(*layers)
+
+    def forward(self, d0, d1, eps=0.1):
+        return self.model.forward(
+            torch.cat((d0, d1, d0 - d1, d0 / (d1 + eps), d1 / (d0 + eps)),
+                      dim=1))
+
+
+def _jax_params_from_torch(mod: TorchDist2Logit) -> dict:
+    params = {}
+    convs = [m for m in mod.model if isinstance(m, tnn.Conv2d)]
+    for i, c in enumerate(convs):
+        # (out, in, 1, 1) -> (in, out)
+        params[f"w{i}"] = jnp.asarray(
+            c.weight.detach().numpy()[:, :, 0, 0].T)
+        params[f"b{i}"] = jnp.asarray(c.bias.detach().numpy())
+    return params
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_dist2logit_matches_torch(rng):
+    torch.manual_seed(0)
+    ref = TorchDist2Logit()
+    params = _jax_params_from_torch(ref)
+    d0 = rng.uniform(0.0, 2.0, 17).astype(np.float32)
+    d1 = rng.uniform(0.0, 2.0, 17).astype(np.float32)
+
+    want = ref(torch.from_numpy(d0).view(-1, 1, 1, 1),
+               torch.from_numpy(d1).view(-1, 1, 1, 1))
+    got = dist2logit(params, jnp.asarray(d0), jnp.asarray(d1))
+    np.testing.assert_allclose(np.asarray(got),
+                               want.detach().numpy().reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bce_ranking_loss_matches_torch(rng):
+    torch.manual_seed(1)
+    ref = TorchDist2Logit()
+    params = _jax_params_from_torch(ref)
+    d0 = rng.uniform(0.0, 2.0, 13).astype(np.float32)
+    d1 = rng.uniform(0.0, 2.0, 13).astype(np.float32)
+    judge = rng.uniform(0.0, 1.0, 13).astype(np.float32)
+
+    # reference forward_train: rankLoss(d0, d1, judge*2-1) with
+    # per = (judge_in + 1)/2  (dist_model.py:201, networks_basic.py:215)
+    logit = ref(torch.from_numpy(d0).view(-1, 1, 1, 1),
+                torch.from_numpy(d1).view(-1, 1, 1, 1))
+    per = torch.from_numpy(judge).view(-1, 1, 1, 1)
+    want = tnn.BCELoss()(logit, per).item()
+
+    got = bce_ranking_loss(params, jnp.asarray(d0), jnp.asarray(d1),
+                           jnp.asarray(judge))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_bce_ranking_loss_saturated_logit_is_clamped():
+    """p == 0/1 must follow torch's log-clamp at -100, not produce inf."""
+    params = init_dist2logit_params(jax.random.key(0))
+    # drive the final layer to huge bias -> sigmoid == 1.0 exactly in f32
+    params["w2"] = jnp.zeros_like(params["w2"])
+    params["b2"] = jnp.full_like(params["b2"], 60.0)
+    loss = bce_ranking_loss(params, jnp.ones(4), jnp.ones(4),
+                            jnp.zeros(4))  # target 0, p == 1
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), 100.0)
+
+
+def test_rank_loss_matches_executed_reference(rng):
+    """Run the REFERENCE's own BCERankingLoss/Dist2LogitLayer bytes
+    (``networks_basic.py:184-219``) — not a re-enactment — against ours at
+    equal weights, through the full ``forward_train`` judge mapping
+    (``dist_model.py:196-201``: rankLoss(d0, d1, judge*2-1))."""
+    import sys
+
+    from tests.reference_oracle import (load_reference_attack,
+                                        reference_torch_env)
+
+    load_reference_attack()
+    nb = next(mod for name, mod in sys.modules.items()
+              if name.endswith("networks_basic"))
+
+    with reference_torch_env():
+        torch.manual_seed(5)
+        ref = nb.BCERankingLoss(use_gpu=True)  # .cuda() no-op'd
+        params = {}
+        convs = [m for m in ref.net.model if isinstance(m, tnn.Conv2d)]
+        for i, c in enumerate(convs):
+            params[f"w{i}"] = jnp.asarray(
+                c.weight.detach().numpy()[:, :, 0, 0].T)
+            params[f"b{i}"] = jnp.asarray(c.bias.detach().numpy())
+
+        d0 = rng.uniform(0.0, 2.0, 9).astype(np.float32)
+        d1 = rng.uniform(0.0, 2.0, 9).astype(np.float32)
+        judge = rng.uniform(0.0, 1.0, 9).astype(np.float32)
+        want = ref.forward(
+            torch.from_numpy(d0).view(-1, 1, 1, 1),
+            torch.from_numpy(d1).view(-1, 1, 1, 1),
+            torch.from_numpy(judge).view(-1, 1, 1, 1) * 2.0 - 1.0).item()
+
+    got = bce_ranking_loss(params, jnp.asarray(d0), jnp.asarray(d1),
+                           jnp.asarray(judge))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_compute_accuracy_matches_score_2afc(rng):
+    d0 = rng.uniform(size=50)
+    d1 = rng.uniform(size=50)
+    gt = rng.uniform(size=50)
+    assert compute_accuracy(d0, d1, gt) == pytest.approx(
+        score_2afc(d0, d1, gt))
+
+
+def test_linear_lr_schedule_matches_reference_decay():
+    """dist_model.py:244-251: each decay epoch subtracts lr/nepoch_decay."""
+    lr, epochs, dec = 1e-3, 3, 4
+    got = [linear_lr_schedule(lr, epochs, dec, e)
+           for e in range(epochs + dec)]
+    want = [lr, lr, lr, lr * 3 / 4, lr * 2 / 4, lr * 1 / 4, 0.0]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dropout_train_forward_averages_to_inference(rng):
+    """E[dropout forward] == inference forward (p=0.5, 2x rescale)."""
+    params = init_lpips_params(seed=0, net="vgg")
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    want = np.asarray(lpips_pair(params, x, y))
+    fwd = jax.jit(lambda k: lpips_pair_train(params, x, y, k))
+    draws = np.stack([np.asarray(fwd(jax.random.key(i)))
+                      for i in range(200)])
+    np.testing.assert_allclose(draws.mean(0), want, rtol=0.15)
+    # and it is actually stochastic
+    assert draws.std(0).min() > 0
+
+
+def _make_triplets(rng, n=48, res=16):
+    """Synthetic judgments: humans 'prefer' the patch closer in plain L2 —
+    learnable by the lin heads, not identical to the init metric."""
+    ref = rng.uniform(-1, 1, (n, res, res, 3)).astype(np.float32)
+    p0 = np.clip(ref + rng.normal(0, rng.uniform(0.05, 0.6, (n, 1, 1, 1)),
+                                  ref.shape), -1, 1).astype(np.float32)
+    p1 = np.clip(ref + rng.normal(0, rng.uniform(0.05, 0.6, (n, 1, 1, 1)),
+                                  ref.shape), -1, 1).astype(np.float32)
+    l2_0 = ((p0 - ref) ** 2).mean((1, 2, 3))
+    l2_1 = ((p1 - ref) ** 2).mean((1, 2, 3))
+    judge = (l2_1 < l2_0).astype(np.float32)  # 1 -> p1 preferred
+    return [{"ref": ref[i:i + 16], "p0": p0[i:i + 16], "p1": p1[i:i + 16],
+             "judge": judge[i:i + 16]} for i in range(0, n, 16)]
+
+
+def test_train_2afc_improves_accuracy_and_keeps_lins_nonneg(rng):
+    params = init_lpips_params(seed=3, net="vgg")
+    # random heads: break the uniform init so there is headroom to learn
+    key = jax.random.key(7)
+    params["lins"] = [
+        jax.random.uniform(k, w.shape, jnp.float32, 0.0, 2.0 / w.size)
+        for k, w in zip(jax.random.split(key, len(params["lins"])),
+                        params["lins"])]
+    batches = _make_triplets(rng)
+
+    def dist(a, b):
+        return np.asarray(lpips_pair(params, jnp.asarray(a),
+                                     jnp.asarray(b)))
+
+    d0_before = np.concatenate([dist(b["ref"], b["p0"]) for b in batches])
+    d1_before = np.concatenate([dist(b["ref"], b["p1"]) for b in batches])
+    gts = np.concatenate([b["judge"] for b in batches])
+    acc_before = score_2afc(d0_before, d1_before, gts)
+
+    trained, rank, hist = train_2afc(
+        params, batches, epochs=6, decay_epochs=4, lr=5e-3, seed=0)
+
+    assert all(float(np.min(np.asarray(w))) >= 0.0
+               for w in trained["lins"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+    def dist_t(a, b):
+        return np.asarray(lpips_pair(trained, jnp.asarray(a),
+                                     jnp.asarray(b)))
+
+    d0 = np.concatenate([dist_t(b["ref"], b["p0"]) for b in batches])
+    d1 = np.concatenate([dist_t(b["ref"], b["p1"]) for b in batches])
+    acc_after = score_2afc(d0, d1, gts)
+    assert acc_after >= acc_before - 0.02  # no regression beyond noise
+    assert acc_after > 0.6  # actually learned the judgment direction
+
+
+def test_train_2afc_tune_backbone_updates_convs(rng):
+    params = init_lpips_params(seed=1, net="vgg")
+    batches = _make_triplets(rng, n=16)
+    before = np.asarray(params["convs"][0]["kernel"]).copy()
+    trained, _, _ = train_2afc(params, batches, epochs=1, decay_epochs=0,
+                               lr=1e-3, seed=0, tune_backbone=True)
+    after = np.asarray(trained["convs"][0]["kernel"])
+    assert not np.allclose(before, after)
