@@ -234,6 +234,10 @@ def main() -> None:
                          "back to it where it cannot certify "
                          "(ops/knn.two_pass_certificate)")
     ap.add_argument("--two_pass_k", type=int, default=4)
+    ap.add_argument("--q_block", type=int, default=None,
+                    help="override the streamed engines' query block")
+    ap.add_argument("--s_block", type=int, default=None,
+                    help="override the streamed engines' synthetic block")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -256,6 +260,8 @@ def main() -> None:
         n_q, n_syn, q_block, s_block = 2000, 20000, 2048, 2048
     n_q = args.n_q or n_q
     n_syn = args.n_syn or n_syn
+    q_block = args.q_block or q_block
+    s_block = args.s_block or s_block
 
     engine = args.engine
     fallback_err = None
