@@ -46,28 +46,46 @@ def _sync(*arrays) -> None:
 def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
               q_block: int, s_block: int, dtype: str,
               compute_dtype: str | None = None,
-              two_pass: bool = False, two_pass_k: int = 4) -> dict:
+              two_pass: bool = False, two_pass_k: int = 4,
+              store: str = "bfloat16", cache_gb: float = 8.0) -> dict:
     from ganleaks_tpu.ops.distance import make_embed_fn, make_embed_parts_fn
     from ganleaks_tpu.ops.knn import (
         knn_argmin_streamed, knn_argmin_streamed_parts, knn_argmin_two_pass)
     from ganleaks_tpu.ops.lpips import (
         default_lpips_params, lpips_embed_fn, lpips_embed_parts_fn)
 
-    # generate on device: the tunneled host->TPU link is ~13 MB/s. In
-    # bf16 embedding mode the tower's first op casts images to bf16
-    # anyway, so storing them bf16 is numerically a no-op and halves the
-    # resident image HBM (100k 64x64 images: 4.9 GB -> 2.5 GB). Two-pass
-    # mode keeps f32 images: its contract is indices/distances equal to
-    # the FULL f32 search, whose tower reads f32 pixels
-    img_dtype = (jnp.bfloat16
-                 if jnp.dtype(dtype) == jnp.bfloat16 and not two_pass
-                 else jnp.float32)
-    make = jax.jit(lambda key, n: jax.random.uniform(
-        key, (n, resolution, resolution, 3), jnp.float32, -1, 1
-        ).astype(img_dtype), static_argnums=(1,))
+    # generate on device: the tunneled host->TPU link is ~13 MB/s.
+    # store='bfloat16' (default, the mode every recorded BENCH number
+    # uses) casts the synthetic benchmark images to bf16 — a no-op for
+    # the bf16 tower, half the f32 HBM. NOT available to real-data runs
+    # (it would corrupt pixels) and not valid for two_pass (whose
+    # contract is parity with the full f32 search). store='uint8' is
+    # the attack driver's real-data mode (cfg.uint8_storage): original
+    # bytes, 1/4 the f32 HBM, dequant inside the featurize jit
+    # (ops/distance.images_unit_range) — measured ~10-15% slower than
+    # the bf16 cast at 2000x20000 but the only storage that is both
+    # small AND (near-)lossless, and what makes the real 100k x 20k
+    # attack fit next to the 8 GB query cache at all (f32 images would
+    # need 5.9 GB). store='float32' is the parity layout.
+    if store == "uint8":
+        def _mk(key, n):
+            return jax.random.randint(
+                key, (n, resolution, resolution, 3), 0, 256, jnp.int32
+                ).astype(jnp.uint8)
+    else:
+        img_dtype = (jnp.bfloat16
+                     if store == "bfloat16" and not two_pass
+                     else jnp.float32)
+
+        def _mk(key, n):
+            return jax.random.uniform(
+                key, (n, resolution, resolution, 3), jnp.float32, -1, 1
+                ).astype(img_dtype)
+    make = jax.jit(_mk, static_argnums=(1,))
     syn = make(jax.random.key(0), n_syn)
     queries = make(jax.random.key(1), n_q)
     _sync(syn, queries)
+    cache_bytes = int(cache_gb * (1 << 30))
 
     params = default_lpips_params("vgg")
     cdt = jnp.dtype(compute_dtype) if compute_dtype else None
@@ -104,7 +122,8 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
         def attack():
             d, i = knn_argmin_two_pass(embed_lo, embed_hi, queries, syn,
                                        k=two_pass_k, engine=engine,
-                                       q_block=q_block, s_block=s_block)
+                                       q_block=q_block, s_block=s_block,
+                                       query_cache_bytes=cache_bytes)
             _sync(d, i)
             return d, i
     elif engine in ("taps", "taps-int8"):
@@ -120,13 +139,15 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
             d, i = knn_argmin_streamed_parts(parts_embed, queries, syn,
                                              q_block=q_block,
                                              s_block=s_block,
-                                             quantize=engine == "taps-int8")
+                                             quantize=engine == "taps-int8",
+                                             query_cache_bytes=cache_bytes)
             _sync(d, i)
             return d, i
     else:
         def attack():
             d, i = knn_argmin_streamed(embed, queries, syn, engine=engine,
-                                       q_block=q_block, s_block=s_block)
+                                       q_block=q_block, s_block=s_block,
+                                       query_cache_bytes=cache_bytes)
             _sync(d, i)
             return d, i
 
@@ -238,6 +259,16 @@ def main() -> None:
                     help="override the streamed engines' query block")
     ap.add_argument("--s_block", type=int, default=None,
                     help="override the streamed engines' synthetic block")
+    ap.add_argument("--store", default="bfloat16",
+                    choices=["uint8", "bfloat16", "float32"],
+                    help="device-resident image dtype: bfloat16 "
+                         "(default; synthetic-benchmark cast, the mode "
+                         "of every recorded BENCH number), uint8 (the "
+                         "attack driver's real-data storage), float32 "
+                         "(parity layout)")
+    ap.add_argument("--cache_gb", type=float, default=8.0,
+                    help="query-embedding cache HBM budget; sets the "
+                         "number of synthetic featurize sweeps")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -268,7 +299,8 @@ def main() -> None:
     try:
         out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
                         args.dtype, args.compute_dtype,
-                        two_pass=args.two_pass, two_pass_k=args.two_pass_k)
+                        two_pass=args.two_pass, two_pass_k=args.two_pass_k,
+                        store=args.store, cache_gb=args.cache_gb)
     except Exception as e:
         # A broken flagship engine must NOT produce a clean-looking
         # artifact: outside --quick the failure is fatal; in quick/smoke
@@ -281,7 +313,8 @@ def main() -> None:
             out = run_bench(n_q, n_syn, 64, engine, q_block, s_block,
                             args.dtype, args.compute_dtype,
                             two_pass=args.two_pass,
-                            two_pass_k=args.two_pass_k)
+                            two_pass_k=args.two_pass_k,
+                            store=args.store, cache_gb=args.cache_gb)
         else:
             raise
 

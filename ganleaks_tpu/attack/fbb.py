@@ -111,6 +111,7 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
         syn = syn[:truncate_to_batches(len(syn), cfg.BATCH_SIZE)]
 
     syn_j = jnp.asarray(syn)
+    cache_bytes = int(cfg.query_cache_gb * (1 << 30))
     meter = Throughput()
 
     def search(queries: np.ndarray):
@@ -129,7 +130,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_ring_streamed(
                 embed_struct if structured else embed, q_j, syn_j, mesh,
                 engine=cfg.engine, q_block=cfg.query_block,
-                s_block=cfg.syn_block)
+                s_block=cfg.syn_block)  # ring: no query cache (both
+                # sets sharded; embedded blocks rotate instead)
         elif mesh is not None and cfg.two_pass:
             # sharded streamed pass 1, replicated exact re-rank, runtime
             # exactness certificate (parallel/knn_shard)
@@ -138,7 +140,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_two_pass_mesh(
                 embed_lo, embed_hi, q_j, syn_j, mesh,
                 k=cfg.two_pass_k, engine=cfg.engine,
-                q_block=cfg.query_block, s_block=cfg.syn_block)
+                q_block=cfg.query_block, s_block=cfg.syn_block,
+                query_cache_bytes=cache_bytes)
         elif mesh is not None:
             # mesh at single-chip engine parity: each chip featurizes only
             # its shard, chunked replicated query cache, bf16 streams,
@@ -148,7 +151,7 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_sharded_streamed(
                 embed_struct if structured else embed, q_j, syn_j, mesh,
                 engine=cfg.engine, q_block=cfg.query_block,
-                s_block=cfg.syn_block)
+                s_block=cfg.syn_block, query_cache_bytes=cache_bytes)
         elif cfg.two_pass:
             # exact-index throughput mode: reduced-precision tower
             # candidates + f32 re-rank at precision='highest' with the
@@ -157,7 +160,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_two_pass(
                 embed_lo, embed_hi, q_j,
                 syn_j, k=cfg.two_pass_k, engine=cfg.engine,
-                q_block=cfg.query_block, s_block=cfg.syn_block)
+                q_block=cfg.query_block, s_block=cfg.syn_block,
+                query_cache_bytes=cache_bytes)
         elif structured:
             # tap-structured embeddings: no flat relayout (docs/PERF.md);
             # 'taps-int8' streams int8 parts with static rigorous scales
@@ -167,12 +171,14 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_streamed_parts(
                 embed_struct, q_j, syn_j,
                 q_block=cfg.query_block, s_block=cfg.syn_block,
-                quantize=cfg.engine == "taps-int8")
+                quantize=cfg.engine == "taps-int8",
+                query_cache_bytes=cache_bytes)
         else:
             d, i = knn_argmin_streamed(embed, q_j, syn_j,
                                        engine=cfg.engine,
                                        q_block=cfg.query_block,
-                                       s_block=cfg.syn_block)
+                                       s_block=cfg.syn_block,
+                                       query_cache_bytes=cache_bytes)
         jax.block_until_ready(d)
         meter.add(len(queries) * len(syn))
         return np.asarray(d, np.float64), np.asarray(i)
@@ -190,11 +196,14 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
 def plot_closest_images(nn_idx: np.ndarray, queries: np.ndarray,
                         syn: np.ndarray, save_dir: str, class_type: str,
                         num: int = 20) -> None:
-    """Query|NN side-by-side PNGs (``fbb.py:91-106``)."""
+    """Query|NN side-by-side PNGs (``fbb.py:91-106``). Accepts [-1,1]
+    floats or raw uint8 (the lossless device-storage form)."""
     num = min(num, len(queries))
     for i in range(num):
         pair = np.concatenate([queries[i], syn[int(nn_idx[i])]], axis=1)
-        PIL.Image.fromarray(to_uint8(pair, drange=(-1, 1))).save(
+        if pair.dtype != np.uint8:
+            pair = to_uint8(pair, drange=(-1, 1))
+        PIL.Image.fromarray(pair).save(
             os.path.join(save_dir, f"{i}{class_type}.png"))
 
 
@@ -231,11 +240,18 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
 
         from ganleaks_tpu.io.native import load_image_dir_native
 
-        syn = load_image_dir_native(subdir, sub_cfg.resolution)
+        # uint8 storage (default) is lossless — the dequant LUT
+        # reproduces the float pipeline bit-exactly
+        # (ops/distance.images_unit_range) — and quarters both the
+        # host->device transfer and the image HBM residency
+        dt = np.uint8 if sub_cfg.uint8_storage else np.float32
+        syn = load_image_dir_native(subdir, sub_cfg.resolution, dtype=dt)
         pos = load_image_dir_native(sub_cfg.pos_data_dir,
-                                    sub_cfg.resolution)[:sub_cfg.data_num]
+                                    sub_cfg.resolution,
+                                    dtype=dt)[:sub_cfg.data_num]
         neg = load_image_dir_native(sub_cfg.neg_data_dir,
-                                    sub_cfg.resolution)[:sub_cfg.data_num]
+                                    sub_cfg.resolution,
+                                    dtype=dt)[:sub_cfg.data_num]
 
         out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh, logger=logger)
 

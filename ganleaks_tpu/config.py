@@ -143,6 +143,22 @@ class AttackConfig:
     two_pass_k: int = 4            # candidates per query for pass 1
     query_block: int = 2048        # query tile streamed on device
     syn_block: int = 8192          # generated-set tile streamed on device
+    query_cache_gb: float = 8.0    # HBM budget for the query-embedding
+                                   # cache; sets how many synthetic
+                                   # featurize sweeps the streamed
+                                   # engines pay (ops/knn._stream_search;
+                                   # over-asking degrades to more chunks
+                                   # via the alloc-OOM resume)
+    uint8_storage: bool = True     # hold the device-resident image sets
+                                   # as uint8 (PNG pixels are 8-bit;
+                                   # dequant is bit-exact on CPU, <=1
+                                   # ULP/pixel on TPU — see
+                                   # ops/distance.images_unit_range):
+                                   # 1/4 the f32 image HBM and
+                                   # host->device bytes at equal
+                                   # featurize speed — what lets the
+                                   # 100k x 20k attack coexist with the
+                                   # full query cache on a 16 GB chip
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE
     n_chips: int = 1               # >1: shard the generated set over a mesh
     shard_layout: str = "sharded"  # 'sharded' (queries replicated) | 'ring'

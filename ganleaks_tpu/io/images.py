@@ -79,10 +79,25 @@ def read_image_center_crop(filepath: str, resolution: int = 64,
     return img * 2.0 - 1.0
 
 
+def unit_to_uint8_exact(arr: np.ndarray) -> np.ndarray:
+    """Invert the readers' ``2*(x/255)-1`` scaling back to the original
+    bytes: ``rint((v+1)*127.5)`` recovers ``x`` exactly for every byte
+    value (the 256 reachable floats are ~0.004 apart — ULP-level reader
+    variation cannot move one across a rounding boundary). Lets uint8
+    device residency (``ops/distance.images_unit_range``) be layered on
+    any [-1, 1] float source without touching its decode path."""
+    if arr.dtype == np.uint8:
+        return arr
+    return np.rint((arr.astype(np.float64) + 1.0) * 127.5).astype(np.uint8)
+
+
 def load_image_dir(data_dir: str, resolution: int = 64, ext: str = "png",
                    limit: int | None = None, reader=read_image,
-                   num_threads: int = 8) -> np.ndarray:
-    """Load a directory of images into one NHWC float32 array in [-1, 1].
+                   num_threads: int = 8, dtype=np.float32) -> np.ndarray:
+    """Load a directory of images into one NHWC array: float32 in [-1, 1]
+    (default), or the original uint8 bytes with ``dtype=np.uint8`` (for
+    lossless uint8 device residency — see
+    ``ops/distance.images_unit_range``).
 
     Threaded PNG decode replaces the reference's serial list comprehension
     (``fbb.py:134``); thread (not process) pool because PIL decodes release
@@ -95,7 +110,10 @@ def load_image_dir(data_dir: str, resolution: int = 64, ext: str = "png",
         raise FileNotFoundError(f"no *.{ext} files under {data_dir}")
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
         imgs = list(pool.map(lambda p: reader(p, resolution), paths))
-    return np.asarray(imgs, dtype=np.float32)
+    out = np.asarray(imgs, dtype=np.float32)
+    if np.dtype(dtype) == np.uint8:
+        return unit_to_uint8_exact(out)
+    return out
 
 
 def to_uint8(img: np.ndarray, drange=(-1.0, 1.0),

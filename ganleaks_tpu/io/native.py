@@ -61,9 +61,13 @@ def native_available() -> bool:
 def load_image_dir_native(data_dir: str, resolution: int = 64,
                           ext: str = "png", limit: int | None = None,
                           mode: int = MODE_EXACT,
-                          num_threads: int | None = None) -> np.ndarray:
+                          num_threads: int | None = None,
+                          dtype=np.float32) -> np.ndarray:
     """Directory -> NHWC float32 in [-1, 1] via the C++ loader; per-image
-    PIL fallback keeps resize semantics identical for mismatched sizes."""
+    PIL fallback keeps resize semantics identical for mismatched sizes.
+    ``dtype=np.uint8`` returns the original bytes (exact re-encode,
+    ``io.images.unit_to_uint8_exact``) for lossless uint8 device
+    residency."""
     paths = get_filepaths_from_dir(data_dir, ext)
     if limit is not None:
         paths = paths[:limit]
@@ -74,12 +78,18 @@ def load_image_dir_native(data_dir: str, resolution: int = 64,
     n = len(paths)
     out = np.empty((n, resolution, resolution, 3), np.float32)
 
+    def finish(arr: np.ndarray) -> np.ndarray:
+        if np.dtype(dtype) == np.uint8:
+            from ganleaks_tpu.io.images import unit_to_uint8_exact
+            return unit_to_uint8_exact(arr)
+        return arr
+
     if lib is None:
         reader = (read_image_center_crop if mode == MODE_CENTER_CROP
                   else read_image)
         for i, p in enumerate(paths):
             out[i] = reader(p, resolution)
-        return out
+        return finish(out)
 
     num_threads = num_threads or min(8, os.cpu_count() or 1)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -94,4 +104,4 @@ def load_image_dir_native(data_dir: str, resolution: int = 64,
                        else read_image)
     for i in np.nonzero(status)[0]:
         out[i] = fallback_reader(paths[i], resolution)
-    return out
+    return finish(out)

@@ -26,12 +26,67 @@ attack drops from O(N_q * N_s) network forwards to O(N_q + N_s).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
+
+# f32(f64(2*(x/255) - 1)) for every byte value: the exact value the host
+# readers produce (read_image computes in float64, utils.py:82, then
+# load_image_dir casts to f32). No compiled f32 arithmetic reproduces
+# these bits: naive x/127.5-1 loses up to 127 ULPs to cancellation near
+# x=127, and even the well-conditioned (2x-255)/255 gets its division
+# rewritten to a reciprocal-multiply by XLA's algebraic simplifier UNDER
+# JIT (measured: 126/256 bytes off by 1 ULP, on CPU and TPU alike) —
+# hence a table for exactness, arithmetic for speed.
+_U8_UNIT_TABLE = (2.0 * (np.arange(256, dtype=np.float64) / 255.0)
+                  - 1.0).astype(np.float32)
+
+_U8_STRICT_ENV = "GANLEAKS_U8_LUT"
+
+
+def images_unit_range(x: Array) -> Array:
+    """uint8 [0, 255] image storage -> the [-1, 1] float32 the host
+    readers produce. Floats pass through unchanged.
+
+    Why uint8 residency exists: PNG pixels are natively 8-bit, so
+    holding the device-resident query/synthetic sets as uint8 preserves
+    them (exactly, or to 1 ULP — below) at 1/4 the f32 HBM footprint
+    and 1/4 the host->device transfer. At the 100k x 20k north-star
+    config the f32 image sets alone are 5.9 GB — which cannot coexist
+    with the 8 GB query-embedding cache on a 16 GB chip — while the
+    uint8 sets are 1.5 GB, making the real-data attack fit at full
+    cache (fewer synthetic featurize sweeps; cache bytes set the sweep
+    count, ``ops/knn._stream_search``). The conversion runs inside the
+    fused featurize jits, so no full-size f32 copy of the image sets
+    ever materializes in HBM; block featurize speed measures at parity
+    with f32 images (41.5 vs 42.0 ms per 2048-image bf16 block on
+    v5e).
+
+    Exactness is backend-split:
+
+    * **CPU** (where every golden/parity suite runs, and where gathers
+      are cheap): the 256-entry LUT — bit-identical to the host f64
+      pipeline by construction.
+    * **TPU** (where a small-table gather is a slow scalar path:
+      311 vs 41 ms per 2048-image block measured): ``(2x - 255)/255``
+      — exact integer numerator, one division. XLA lowers the divide
+      to a reciprocal-multiply, off by 1 ULP of the pixel value for
+      126/256 bytes (~6e-8 absolute) — five orders below the bf16
+      tower wobble (~4e-3) and below the TPU f32 matmul's own bf16
+      cross-term error (DIVERGENCES.md), so every engine's error model
+      absorbs it unchanged. ``GANLEAKS_U8_LUT=1`` forces the bit-exact
+      LUT on TPU too (strict-parity runs; pay the gather).
+    """
+    if x.dtype != jnp.uint8:
+        return x
+    if os.environ.get(_U8_STRICT_ENV) or jax.default_backend() != "tpu":
+        return jnp.take(jnp.asarray(_U8_UNIT_TABLE), x, axis=0)
+    return (2.0 * x.astype(jnp.float32) - 255.0) / 255.0
 
 
 def pixel_embedding(x: Array) -> Array:
@@ -64,12 +119,15 @@ def make_embed_fn(distance: str, lpips_embed: Callable | None = None,
                             LPIPS embedding scale by the lpips module.
     """
     if distance == "l2":
-        return lambda x: pixel_embedding(x).astype(dtype)
+        def embed_l2(x: Array) -> Array:
+            return pixel_embedding(images_unit_range(x)).astype(dtype)
+        return embed_l2
     if distance == "l2-lpips":
         if lpips_embed is None:
             raise ValueError("l2-lpips requires an LPIPS embed function")
 
         def embed(x: Array) -> Array:
+            x = images_unit_range(x)
             return jnp.concatenate(
                 [pixel_embedding(x).astype(dtype),
                  lpips_embed(x).astype(dtype)], axis=1)
@@ -106,7 +164,8 @@ def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
         return float(d) * 127.5 ** 2
 
     if distance == "l2":
-        embed = lambda x: [pixel_embedding(x).astype(dtype)]
+        def embed(x: Array) -> list[Array]:
+            return [pixel_embedding(images_unit_range(x)).astype(dtype)]
         embed.part_bound_fn = lambda shape: [pix_bound(shape)]
         embed.part_int_dot_bound_fn = lambda shape: [pix_dot_bound(shape)]
         return embed
@@ -115,6 +174,7 @@ def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
             raise ValueError("l2-lpips requires an LPIPS parts function")
 
         def embed(x: Array) -> list[Array]:
+            x = images_unit_range(x)
             return [pixel_embedding(x).astype(dtype)] + lpips_parts(x)
         if hasattr(lpips_parts, "part_bound_fn"):
             embed.part_bound_fn = lambda shape: (

@@ -316,6 +316,7 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
 
     outs = []
     qs0 = 0
+    s_block0 = s_block
     while qs0 < n_q:
         end = min(n_q, qs0 + chunk_rows)
         n_rows = end - qs0
@@ -324,7 +325,13 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
             bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
                     for p in probe]
             rq = jnp.zeros((padded,), jnp.float32)
-            jax.block_until_ready(rq)  # surface alloc failures HERE
+            # surface alloc failures HERE, on EVERY buffer: allocation is
+            # async, and blocking only on the small rq let a failed
+            # multi-GB bufs alloc poison the runtime and burst out of an
+            # unguarded eager op later (seen at the 12 GB north-star
+            # cache: the OOM surfaced at a query slice, skipping this
+            # resume entirely)
+            jax.block_until_ready((bufs, rq))
         except Exception as e:
             # an over-ambitious query_cache_bytes must degrade to more
             # chunks, not kill the run (an 11 GB cache request on a
@@ -358,20 +365,41 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
             qs += parts[0].shape[0]
         state = init_state(padded)
         ss = 0
+        restart_chunk = False
         while ss < n_s:
             try:
                 s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
                 new_state = fold(state, bufs, rq, s_parts, rs_blk, ss,
                                  n_valid)
             except Exception as e:
-                if not _is_oom(e) or s_block <= 1:
+                if not _is_oom(e):
                     raise
-                s_block = max(1, s_block // 2)
-                print(f"[knn] synthetic stream OOM; s_block={s_block} "
-                      f"(resuming at row {ss})")
-                continue
+                if s_block > 1:
+                    s_block = max(1, s_block // 2)
+                    print(f"[knn] synthetic stream OOM; s_block={s_block} "
+                          f"(resuming at row {ss})")
+                    continue
+                # s_block exhausted: the pressure is the RESIDENT side
+                # (query cache + fold state), not the streamed block —
+                # observed with an over-ambitious 12 GB cache whose
+                # sweep died near the end with every s_block failing.
+                # Shrink the cache and redo this chunk; smaller blocks
+                # cannot help further, so raising here would be final.
+                if chunk_rows <= q_block:
+                    raise
+                chunk_rows = max(q_block,
+                                 (chunk_rows // 2) // q_block * q_block)
+                s_block = s_block0
+                print(f"[knn] synthetic stream OOM persists at s_block=1; "
+                      f"halving query cache to chunk_rows={chunk_rows} "
+                      f"and restarting the chunk")
+                restart_chunk = True
+                break
             state = new_state
             ss += n_valid
+        if restart_chunk:
+            del bufs, rq, state
+            continue
         del bufs, rq
         outs.append(take(state, n_rows))
         qs0 = end

@@ -56,7 +56,13 @@ def normalize_tensor(feat: Array, eps: float = _EPS_NORM) -> Array:
 
 
 def _scale_input(x: Array) -> Array:
-    """(x - shift) / scale (``networks_basic.py:135-136``)."""
+    """(x - shift) / scale (``networks_basic.py:135-136``). uint8 image
+    storage is converted to the exact [-1, 1] f32 the host readers
+    produce first (``ops/distance.images_unit_range``), so every LPIPS
+    surface tolerates uint8-resident inputs."""
+    from ganleaks_tpu.ops.distance import images_unit_range
+
+    x = images_unit_range(x)
     return (x - LPIPS_SHIFT.astype(x.dtype)) / LPIPS_SCALE.astype(x.dtype)
 
 

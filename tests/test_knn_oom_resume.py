@@ -209,6 +209,43 @@ def test_topk_oom_resumes_like_argmin(eager_knn):
         "top-k sweep resumed without recomputing completed blocks"
 
 
+def test_syn_oom_at_min_block_shrinks_cache_and_restarts_chunk(eager_knn):
+    """When s_block bottoms out at 1 and the OOM persists, the pressure
+    is the RESIDENT query cache, not the streamed block: the driver must
+    halve chunk_rows and redo the chunk (more synthetic sweeps) instead
+    of raising — the graceful-degradation contract for an over-ambitious
+    query_cache_bytes."""
+    queries = tagged(8, 1000.0)
+    syn = tagged(8, 0.0)
+    embed0 = make_embed_fn("l2")
+    ref_d, ref_i = (np.asarray(a) for a in knn_argmin_streamed(
+        embed0, jnp.asarray(queries), jnp.asarray(syn),
+        s_block=2, q_block=4))
+
+    # cache budget sized to exactly one 8-row chunk (rows are 512 B
+    # physical: a (4,) f32 part lane-padded to 128). calls 1,2 featurize
+    # the two query blocks; call 3 = first syn block (s_block=2) raises
+    # -> s_block 1; call 4 (s_block=1) raises -> cache halves to
+    # chunk_rows=4, the chunk restarts with s_block reset to 2, and the
+    # search finishes as two 4-row chunks.
+    embed = InjectingEmbed(fail_on_calls=(3, 4))
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=2, q_block=4,
+                               query_cache_bytes=8 * 512)
+
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
+    # both 4-row chunks completed a FULL synthetic sweep (2 sweeps total)
+    syn_rows = coverage(embed.log, 0.0, 8)
+    assert sorted(syn_rows) == sorted(list(range(8)) * 2), \
+        "each halved chunk sweeps the whole synthetic set"
+    # queries featurized twice: once into the doomed 8-row chunk, once
+    # across the two restarted 4-row chunks
+    q_rows = coverage(embed.log, 1000.0, 8)
+    assert sorted(q_rows) == sorted(list(range(8)) * 2), \
+        "restart re-featurizes the chunk rows exactly once more"
+
+
 def test_oom_at_minimum_block_reraises(eager_knn):
     embed = InjectingEmbed(fail_on_calls=set(range(1, 50)))
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
