@@ -47,7 +47,7 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
               q_block: int, s_block: int, dtype: str,
               compute_dtype: str | None = None,
               two_pass: bool = False, two_pass_k: int = 4,
-              store: str = "bfloat16", cache_gb: float = 8.0) -> dict:
+              store: str | None = None, cache_gb: float = 8.0) -> dict:
     from ganleaks_tpu.ops.distance import make_embed_fn, make_embed_parts_fn
     from ganleaks_tpu.ops.knn import (
         knn_argmin_streamed, knn_argmin_streamed_parts, knn_argmin_two_pass)
@@ -55,18 +55,25 @@ def run_bench(n_q: int, n_syn: int, resolution: int, engine: str,
         default_lpips_params, lpips_embed_fn, lpips_embed_parts_fn)
 
     # generate on device: the tunneled host->TPU link is ~13 MB/s.
-    # store='bfloat16' (default, the mode every recorded BENCH number
-    # uses) casts the synthetic benchmark images to bf16 — a no-op for
-    # the bf16 tower, half the f32 HBM. NOT available to real-data runs
-    # (it would corrupt pixels) and not valid for two_pass (whose
-    # contract is parity with the full f32 search). store='uint8' is
-    # the attack driver's real-data mode (cfg.uint8_storage): original
-    # bytes, 1/4 the f32 HBM, dequant inside the featurize jit
-    # (ops/distance.images_unit_range) — measured ~10-15% slower than
-    # the bf16 cast at 2000x20000 but the only storage that is both
-    # small AND (near-)lossless, and what makes the real 100k x 20k
-    # attack fit next to the 8 GB query cache at all (f32 images would
-    # need 5.9 GB). store='float32' is the parity layout.
+    # store=None (default) resolves dtype-aware exactly like the old
+    # hardcoded logic: bf16 images for the bf16 embedding mode (a no-op
+    # for the bf16 tower, half the f32 HBM; the mode every recorded
+    # BENCH number uses) and f32 images whenever the run is a parity
+    # configuration (--dtype float32, or two_pass whose contract is
+    # parity with the full f32 search) — so `--dtype float32` alone
+    # still benchmarks true f32 pixels. store='uint8' is the attack
+    # driver's real-data mode (cfg.uint8_storage): original bytes, 1/4
+    # the f32 HBM, dequant inside the featurize jit
+    # (ops/distance.images_unit_range) — ~10-15% slower than the bf16
+    # cast at 2000x20000 (where the cache fits either way) but MATCHES
+    # it at the 100k x 20k north star (measured 172.0M pairs/s = 11.6 s
+    # with the 8 GB cache, 2026-08-17): there cache sweeps dominate,
+    # and u8 is what lets real data fit next to the cache at all (f32
+    # images would need 5.9 GB).
+    if store is None:
+        store = ("bfloat16"
+                 if jnp.dtype(dtype) == jnp.bfloat16 and not two_pass
+                 else "float32")
     if store == "uint8":
         def _mk(key, n):
             return jax.random.randint(
@@ -259,13 +266,13 @@ def main() -> None:
                     help="override the streamed engines' query block")
     ap.add_argument("--s_block", type=int, default=None,
                     help="override the streamed engines' synthetic block")
-    ap.add_argument("--store", default="bfloat16",
+    ap.add_argument("--store", default=None,
                     choices=["uint8", "bfloat16", "float32"],
-                    help="device-resident image dtype: bfloat16 "
-                         "(default; synthetic-benchmark cast, the mode "
-                         "of every recorded BENCH number), uint8 (the "
-                         "attack driver's real-data storage), float32 "
-                         "(parity layout)")
+                    help="device-resident image dtype; default follows "
+                         "--dtype (bfloat16 cast for the bf16 mode — "
+                         "the mode of every recorded BENCH number — "
+                         "f32 for parity/two_pass runs); uint8 = the "
+                         "attack driver's real-data storage")
     ap.add_argument("--cache_gb", type=float, default=8.0,
                     help="query-embedding cache HBM budget; sets the "
                          "number of synthetic featurize sweeps")

@@ -197,12 +197,19 @@ def plot_closest_images(nn_idx: np.ndarray, queries: np.ndarray,
                         syn: np.ndarray, save_dir: str, class_type: str,
                         num: int = 20) -> None:
     """Query|NN side-by-side PNGs (``fbb.py:91-106``). Accepts [-1,1]
-    floats or raw uint8 (the lossless device-storage form)."""
+    floats or raw uint8 (the lossless device-storage form). uint8 input
+    is routed through the SAME f64 scale + floor-truncate chain the
+    float pipeline uses (``np.uint8(img*255)``, ``fbb.py:106``), so the
+    plot artifacts are byte-identical regardless of storage mode — a
+    uint8 shortcut would write x where the reference writes x-1 for
+    half the byte values (floor of the re-scaled float)."""
     num = min(num, len(queries))
     for i in range(num):
         pair = np.concatenate([queries[i], syn[int(nn_idx[i])]], axis=1)
-        if pair.dtype != np.uint8:
-            pair = to_uint8(pair, drange=(-1, 1))
+        if pair.dtype == np.uint8:
+            pair = (2.0 * (pair.astype(np.float64) / 255.0)
+                    - 1.0).astype(np.float32)
+        pair = to_uint8(pair, drange=(-1, 1))
         PIL.Image.fromarray(pair).save(
             os.path.join(save_dir, f"{i}{class_type}.png"))
 

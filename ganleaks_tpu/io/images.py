@@ -85,10 +85,20 @@ def unit_to_uint8_exact(arr: np.ndarray) -> np.ndarray:
     value (the 256 reachable floats are ~0.004 apart — ULP-level reader
     variation cannot move one across a rounding boundary). Lets uint8
     device residency (``ops/distance.images_unit_range``) be layered on
-    any [-1, 1] float source without touching its decode path."""
+    any [-1, 1] float source without touching its decode path.
+
+    Converted in row chunks: a whole-array ``astype(float64)`` would be
+    a 2x-the-f32 transient (≈10 GB at the 100k north star) on top of
+    the already-resident f32 source — a memory spike in a feature whose
+    point is memory reduction."""
     if arr.dtype == np.uint8:
         return arr
-    return np.rint((arr.astype(np.float64) + 1.0) * 127.5).astype(np.uint8)
+    out = np.empty(arr.shape, np.uint8)
+    step = max(1, (64 << 20) // max(1, int(np.prod(arr.shape[1:])) * 8))
+    for i in range(0, arr.shape[0], step):
+        blk = arr[i:i + step].astype(np.float64)
+        out[i:i + step] = np.rint((blk + 1.0) * 127.5).astype(np.uint8)
+    return out
 
 
 def load_image_dir(data_dir: str, resolution: int = 64, ext: str = "png",

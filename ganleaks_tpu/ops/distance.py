@@ -84,9 +84,22 @@ def images_unit_range(x: Array) -> Array:
     """
     if x.dtype != jnp.uint8:
         return x
-    if os.environ.get(_U8_STRICT_ENV) or jax.default_backend() != "tpu":
+    strict = os.environ.get(_U8_STRICT_ENV, "") not in ("", "0")
+    if strict or _dequant_platform() != "tpu":
         return jnp.take(jnp.asarray(_U8_UNIT_TABLE), x, axis=0)
     return (2.0 * x.astype(jnp.float32) - 255.0) / 255.0
+
+
+def _dequant_platform() -> str:
+    """Platform the dequant will most plausibly execute on, readable at
+    TRACE time (inside jit the operand is an abstract tracer with no
+    device): an active ``jax.default_device(...)`` scope wins — so
+    CPU-placed cross-checks inside a TPU-default process still get the
+    bit-exact LUT — else the process default backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
 
 
 def pixel_embedding(x: Array) -> Array:

@@ -385,7 +385,10 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 # sweep died near the end with every s_block failing.
                 # Shrink the cache and redo this chunk; smaller blocks
                 # cannot help further, so raising here would be final.
-                if chunk_rows <= q_block:
+                # (padded <= q_block: THIS chunk is already minimal —
+                # shrinking chunk_rows cannot reduce its buffers, so a
+                # restart would just loop)
+                if chunk_rows <= q_block or padded <= q_block:
                     raise
                 chunk_rows = max(q_block,
                                  (chunk_rows // 2) // q_block * q_block)

@@ -17,10 +17,11 @@ round-2 inventory recorded as a scope cut — now implemented:
   the lin-head dropout active (``NetLinLayer`` is built with
   ``use_dropout=True`` for net-lin, ``networks_basic.py:121,228``),
   Adam(lr, betas=(0.5, 0.999)) over lin heads + rank net
-  (``dist_model.py:98-101``), then ``clamp_weights`` projecting the
-  lin-head weights to >= 0 (``dist_model.py:172-175`` clamps the 1x1
-  convs of ``self.net`` only — the rank net is a separate module and is
-  NOT clamped);
+  (``dist_model.py:98-101``), then ``clamp_weights`` projecting every
+  1x1-conv weight of ``self.net`` to >= 0 (``dist_model.py:172-175``) —
+  the lin heads, plus 1x1 backbone convs when the backbone is trained
+  (squeeze/resnet have some; vgg/alex none); the rank net is a separate
+  module and is NOT clamped;
 * ``update_learning_rate`` (``dist_model.py:244-251``): linear decay by
   ``lr/nepoch_decay`` per epoch;
 * ``compute_accuracy`` (``dist_model.py:208-212``).
@@ -129,22 +130,27 @@ def lpips_pair_train(params: dict, x: Array, y: Array, rng) -> Array:
 
 def linear_lr_schedule(lr: float, epochs: int, decay_epochs: int,
                        epoch: int) -> float:
-    """Constant for ``epochs``, then ``update_learning_rate`` applied per
-    epoch: ``lr_new = lr_old - lr/decay_epochs`` (``dist_model.py:244-251``,
-    floored at 0 — the reference would go negative if over-called)."""
+    """Constant for ``epochs``, then ``update_learning_rate`` applied at
+    the END of each decay epoch: ``lr_new = lr_old - lr/decay_epochs``
+    (``dist_model.py:244-251``). The first decay epoch therefore still
+    trains at full ``lr`` and the LAST at ``lr/decay_epochs`` — never at
+    0 (a zero-lr epoch would be a dead full forward/backward pass);
+    floored at 0 in case of over-calling, where the reference would go
+    negative."""
     if epoch < epochs or decay_epochs <= 0:
         return lr
-    return max(0.0, lr * (1.0 - (epoch - epochs + 1) / decay_epochs))
+    return max(0.0, lr * (1.0 - (epoch - epochs) / decay_epochs))
 
 
 def make_2afc_step(lpips_params: dict, *, tune_backbone: bool = False,
                    beta1: float = 0.5):
     """Build the jitted 2AFC train step.
 
-    Returns ``(step, opt_init)`` where
+    Returns ``(step, opt)`` where
     ``step(trainable, opt_state, batch, rng, lr) -> (trainable,
-    opt_state, loss)`` and ``trainable`` is ``{"lins": ..., "rank": ...}``
-    (plus ``"convs"`` under ``tune_backbone``). Static pieces
+    opt_state, loss, d0, d1)`` — the per-batch distances ride along for
+    accuracy tracking — and ``trainable`` is ``{"lins": ..., "rank":
+    ...}`` (plus ``"convs"`` under ``tune_backbone``). Static pieces
     (backbone structure, frozen convs) are closed over; ``lr`` rides
     ``optax.inject_hyperparams`` so the decay schedule never retraces.
     """
@@ -175,10 +181,19 @@ def make_2afc_step(lpips_params: dict, *, tune_backbone: bool = False,
             loss_fn, has_aux=True)(trainable, batch, rng)
         updates, opt_state = opt.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        # clamp_weights (dist_model.py:172-175): lin heads >= 0; the rank
-        # net is not part of self.net and stays unclamped
+        # clamp_weights (dist_model.py:172-175): every kernel_size (1,1)
+        # conv of self.net projects to >= 0 — the lin heads always, and
+        # under pnet_tune also any 1x1 BACKBONE convs (squeezenet's
+        # squeeze layers, resnet18's downsample convs; vgg/alex have
+        # none). The rank net is a separate module and stays unclamped.
         trainable["lins"] = [jnp.maximum(w, 0.0)
                              for w in trainable["lins"]]
+        if tune_backbone:
+            trainable["convs"] = [
+                {**c, "kernel": jnp.maximum(c["kernel"], 0.0)}
+                if c["kernel"].ndim == 4 and c["kernel"].shape[:2] == (1, 1)
+                else c
+                for c in trainable["convs"]]
         return trainable, opt_state, loss, d0, d1
 
     return step, opt

@@ -154,12 +154,15 @@ def test_compute_accuracy_matches_score_2afc(rng):
 
 
 def test_linear_lr_schedule_matches_reference_decay():
-    """dist_model.py:244-251: each decay epoch subtracts lr/nepoch_decay."""
+    """dist_model.py:244-251: lr/nepoch_decay subtracted at the END of
+    each decay epoch — the first decay epoch still trains at lr, the
+    last at lr/nepoch_decay, and no epoch ever runs at 0."""
     lr, epochs, dec = 1e-3, 3, 4
     got = [linear_lr_schedule(lr, epochs, dec, e)
            for e in range(epochs + dec)]
-    want = [lr, lr, lr, lr * 3 / 4, lr * 2 / 4, lr * 1 / 4, 0.0]
+    want = [lr, lr, lr, lr, lr * 3 / 4, lr * 2 / 4, lr * 1 / 4]
     np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert min(got) > 0.0
 
 
 def test_dropout_train_forward_averages_to_inference(rng):

@@ -210,5 +210,11 @@ def test_run_attack_uint8_storage_artifacts_identical(rng, tmp_path):
     ai = np.load(tmp_path / "out_u8" / "u8" / "pos_nn_idx.npy")
     bi = np.load(tmp_path / "out_f32" / "f32" / "pos_nn_idx.npy")
     np.testing.assert_array_equal(ai, bi)
-    # the closest-pair PNGs exist in both runs
-    assert (tmp_path / "out_u8" / "u8" / "0pos.png").exists()
+    # the closest-pair PNG artifacts are byte-identical: the uint8 path
+    # must route through the reference's floor-truncate scale chain
+    # (fbb.py:106), not dump raw bytes (which would differ by 1 for
+    # half the byte values)
+    for name in ["0pos.png", "0neg.png"]:
+        a = (tmp_path / "out_u8" / "u8" / name).read_bytes()
+        b = (tmp_path / "out_f32" / "f32" / name).read_bytes()
+        assert a == b, f"{name} differs between uint8 and f32 storage"
