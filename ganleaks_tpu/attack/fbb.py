@@ -181,7 +181,10 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                                        query_cache_bytes=cache_bytes)
         jax.block_until_ready(d)
         meter.add(len(queries) * len(syn))
-        return np.asarray(d, np.float64), np.asarray(i)
+        # the ring layout returns P(axis)-sharded results: on one host
+        # np.asarray is fine, across hosts the shards must be gathered
+        from ganleaks_tpu.parallel.multihost import gather_to_host
+        return gather_to_host(d).astype(np.float64), gather_to_host(i)
 
     loss, nn = search(np.concatenate([pos, neg], axis=0))
     pos_loss, neg_loss = loss[:len(pos)], loss[len(pos):]
@@ -218,6 +221,12 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
     """Full driver incl. the hyperparameter-search directory sweep
     (``fbb.py:111-179``). ``cfg.n_chips > 1`` builds a 1-D mesh and shards
     the generated set (or both sets with shard_layout='ring')."""
+    if cfg.multihost:
+        # wire up jax.distributed BEFORE any device enumeration; after
+        # this jax.devices() is the GLOBAL list on every process and the
+        # mesh below spans hosts (ICI within a slice, DCN across)
+        from ganleaks_tpu.parallel.multihost import initialize
+        initialize()
     if mesh is None and cfg.n_chips > 1:
         import numpy as _np
         from jax.sharding import Mesh
@@ -241,9 +250,14 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
             cfg, syn_data_path=subdir,
             params=(subdir.rstrip("/").split("/")[-1]
                     if cfg.hyperparameter_search else cfg.params))
-        save_dir = resolve_save_dir(sub_cfg)
-        dump_params(save_dir, sub_cfg)
-        logger = MetricsLogger(os.path.join(save_dir, "metrics.jsonl"))
+        # SPMD contract: every process runs the same search; only
+        # process 0 touches the (possibly shared) filesystem
+        is_main = jax.process_index() == 0
+        save_dir = resolve_save_dir(sub_cfg) if is_main else ""
+        if is_main:
+            dump_params(save_dir, sub_cfg)
+        logger = MetricsLogger(os.path.join(save_dir, "metrics.jsonl")
+                               if is_main else None, echo=is_main)
 
         from ganleaks_tpu.io.native import load_image_dir_native
 
@@ -262,20 +276,23 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
 
         out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh, logger=logger)
 
-        seq_pos = np.arange(len(out["pos_loss"])).reshape(-1, 1)
-        save_files(save_dir,
-                   ["pos_loss", "pos_idx", "pos_nn_idx"],
-                   [out["pos_loss"].reshape(-1, 1), seq_pos,
-                    out["pos_nn_idx"].reshape(-1, 1)])
-        # reference reuses len(pos_loss) for the neg counter (fbb.py:171)
-        save_files(save_dir,
-                   ["neg_loss", "neg_idx", "neg_nn_idx"],
-                   [out["neg_loss"].reshape(-1, 1), seq_pos,
-                    out["neg_nn_idx"].reshape(-1, 1)])
+        if is_main:
+            seq_pos = np.arange(len(out["pos_loss"])).reshape(-1, 1)
+            save_files(save_dir,
+                       ["pos_loss", "pos_idx", "pos_nn_idx"],
+                       [out["pos_loss"].reshape(-1, 1), seq_pos,
+                        out["pos_nn_idx"].reshape(-1, 1)])
+            # reference reuses len(pos_loss) for the neg counter (fbb.py:171)
+            save_files(save_dir,
+                       ["neg_loss", "neg_idx", "neg_nn_idx"],
+                       [out["neg_loss"].reshape(-1, 1), seq_pos,
+                        out["neg_nn_idx"].reshape(-1, 1)])
 
-        if sub_cfg.save_plots:
-            plot_closest_images(out["pos_nn_idx"], pos, syn, save_dir, "pos")
-            plot_closest_images(out["neg_nn_idx"], neg, syn, save_dir, "neg")
+            if sub_cfg.save_plots:
+                plot_closest_images(out["pos_nn_idx"], pos, syn,
+                                    save_dir, "pos")
+                plot_closest_images(out["neg_nn_idx"], neg, syn,
+                                    save_dir, "neg")
         out["save_dir"] = save_dir
         results.append(out)
         logger.close()

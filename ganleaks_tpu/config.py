@@ -163,6 +163,10 @@ class AttackConfig:
     n_chips: int = 1               # >1: shard the generated set over a mesh
     shard_layout: str = "sharded"  # 'sharded' (queries replicated) | 'ring'
                                    # (both sets sharded, ppermute rotation)
+    multihost: bool = False        # wire up jax.distributed first and mesh
+                                   # over the GLOBAL device list (all
+                                   # hosts); artifacts written by process
+                                   # 0 only (parallel/multihost.py)
     save_plots: bool = True        # the 20 closest-pair PNGs (fbb.py:91-106)
     wandb: str | None = None
     seed: int = 0
