@@ -228,14 +228,8 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         from ganleaks_tpu.parallel.multihost import initialize
         initialize()
     if mesh is None and cfg.n_chips > 1:
-        import numpy as _np
-        from jax.sharding import Mesh
-
-        devs = jax.devices()
-        if len(devs) < cfg.n_chips:
-            raise ValueError(f"n_chips={cfg.n_chips} but only "
-                             f"{len(devs)} devices visible")
-        mesh = Mesh(_np.asarray(devs[:cfg.n_chips]), ("syn",))
+        from ganleaks_tpu.parallel.multihost import global_mesh
+        mesh = global_mesh(cfg.n_chips)  # spans hosts after initialize()
     if cfg.hyperparameter_search:
         root = cfg.syn_data_path
         subdirs = sorted(

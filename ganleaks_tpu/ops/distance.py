@@ -102,6 +102,18 @@ def _dequant_platform() -> str:
     return jax.default_backend()
 
 
+def quantize_int8(x: Array, bound: float) -> Array:
+    """Round-to-nearest int8 quantization at a static rigorous scale —
+    THE quantization rule of the 'taps-int8' engine, shared by every
+    producer (XLA fold ``ops/knn._fused_parts_norms_q``, the Pallas
+    epilogue kernel, and the inline fallbacks) because the two-pass
+    certificate's absolute-error bound (``ops/knn._quant_abs_err``) is
+    derived from exactly this expression. |x| <= bound by construction;
+    the clip only guards float round-off at the boundary."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (127.0 / bound)),
+                    -127, 127).astype(jnp.int8)
+
+
 def pixel_embedding(x: Array) -> Array:
     """phi for the mean-square pixel distance (``utils.py:163``).
 
@@ -196,6 +208,31 @@ def make_embed_parts_fn(distance: str, lpips_parts: Callable | None = None,
             embed.part_int_dot_bound_fn = lambda shape: (
                 [pix_dot_bound(shape)]
                 + lpips_parts.part_int_dot_bound_fn(shape))
+        if hasattr(lpips_parts, "make_fast_parts_norms"):
+            def make_fast(cdtype, bounds=None):
+                """Fused featurize+norms with the Pallas tap epilogue
+                (consumed by ``ops/knn._fused_parts_norms(_q)``): the
+                pixel part keeps its cheap XLA math, the LPIPS taps run
+                the single-pass kernel. Norm/cast/quantization order is
+                identical to the XLA path (embed-dtype rounding first),
+                so a mid-search fallback cannot change results."""
+                lp_fast = lpips_parts.make_fast_parts_norms(
+                    cdtype, None if bounds is None else tuple(bounds[1:]))
+                if lp_fast is None:
+                    return None
+                pix_qb = None if bounds is None else bounds[0]
+
+                def fused(blk):
+                    x = images_unit_range(blk)
+                    pix = pixel_embedding(x).astype(dtype)
+                    rpix = jnp.sum(
+                        jnp.square(pix.astype(jnp.float32)), axis=1)
+                    pix_out = quantize_int8(pix, pix_qb) \
+                        if pix_qb is not None else pix.astype(cdtype)
+                    parts, rlp = lp_fast(x)
+                    return [pix_out] + parts, rpix + rlp
+                return fused
+            embed.make_fast_parts_norms = make_fast
         return embed
     raise ValueError(f"unknown distance {distance!r}")
 

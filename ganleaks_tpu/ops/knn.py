@@ -517,9 +517,68 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
 # ways, 2048x2048 x K=500k).
 # ---------------------------------------------------------------------------
 
+def _fast_slow_dispatch(fast, slow, name: str):
+    """Call the jitted Pallas-epilogue path, permanently falling back to
+    the XLA path on any non-OOM failure (e.g. a Mosaic refusal on an
+    unexpected TPU generation). Safe mid-search: both paths share the
+    same op order and lane packing (``ops/lpips/lpips._pack_lanes``), so
+    values agree bit-for-bit in interpret mode and to <=1 ULP of the
+    embed dtype on real TPU (instruction-level rounding, e.g. XLA's
+    divide->reciprocal rewrite) — inside every taps engine's documented
+    error model; exact-index guarantees attach only to the two-pass
+    re-rank, which never uses this path. OOMs re-raise for the streaming
+    driver's halving resume.
+
+    The try/except only fires when the dispatch runs EAGERLY (the
+    single-chip streamers). Under an outer jit/shard_map (the mesh
+    wrappers) a kernel failure surfaces at outer-compile time instead;
+    the mesh drivers catch it there, call :func:`disable_fast_epilogue`,
+    and rebuild — ``call.disable_fast`` is that switch."""
+    state = {"fast": True}
+
+    def call(blk):
+        if state["fast"]:
+            try:
+                return fast(blk)
+            except Exception as e:
+                if _is_oom(e):
+                    raise
+                print(f"[knn] pallas {name} unavailable "
+                      f"({type(e).__name__}); using the XLA path")
+                state["fast"] = False
+        return slow(blk)
+
+    def disable() -> bool:
+        was = state["fast"]
+        state["fast"] = False
+        return was
+    call.disable_fast = disable
+    return call
+
+
+def disable_fast_epilogue(embed_fn) -> bool:
+    """Flip every cached fast/slow dispatch of ``embed_fn`` to the XLA
+    path and drop its compiled mesh wrappers (which traced the fast path
+    inline). Returns True if anything was actually flipped — the mesh
+    drivers call this when a non-OOM error escapes a compiled wrapper,
+    then retry the step once against the rebuilt XLA-path wrapper."""
+    per = _fused_cache_for(embed_fn)
+    flipped = False
+    for v in list(per.values()):
+        fn = getattr(v, "disable_fast", None)
+        if callable(fn):
+            flipped = fn() or flipped
+    if flipped:
+        per.pop("_mesh", None)
+    return flipped
+
+
 def _fused_parts_norms(embed_fn, cdtype):
     """jit-cached ``blk -> ([parts cast to cdtype], f32 row norms summed
-    over parts)`` — same fusion rationale as :func:`_fused_embed_norms`."""
+    over parts)`` — same fusion rationale as :func:`_fused_embed_norms`.
+    When the embed closure provides the Pallas tap epilogue
+    (``make_fast_parts_norms``, TPU only) the fused single-pass kernel is
+    used with the XLA composition as runtime fallback."""
     per = _fused_cache_for(embed_fn)
     key = "parts:" + jnp.dtype(cdtype).name
     if key not in per:
@@ -532,7 +591,11 @@ def _fused_parts_norms(embed_fn, cdtype):
                 r = pr if r is None else r + pr
                 out.append(p.astype(cdtype))
             return out, r
-        per[key] = _jit_cached(parts_norms)
+        slow = _jit_cached(parts_norms)
+        maker = getattr(embed_fn, "make_fast_parts_norms", None)
+        fast = maker(cdtype) if maker is not None else None
+        per[key] = slow if fast is None else \
+            _fast_slow_dispatch(jax.jit(fast), slow, "epilogue")
     return per[key]
 
 
@@ -548,17 +611,19 @@ def _fused_parts_norms_q(embed_fn, bounds: tuple):
     key = "parts:int8:" + ",".join(f"{b:.6g}" for b in bounds)
     if key not in per:
         def parts_norms(blk):
+            from ganleaks_tpu.ops.distance import quantize_int8
             out, r = [], None
             for p, a in zip(embed_fn(blk), bounds):
                 p = jnp.asarray(p).astype(jnp.float32)
                 pr = jnp.sum(jnp.square(p), axis=tuple(range(1, p.ndim)))
                 r = pr if r is None else r + pr
-                # |p| <= a by construction (rigorous bound), so the clip
-                # only guards float round-off at the boundary
-                out.append(jnp.clip(jnp.round(p * (127.0 / a)),
-                                    -127, 127).astype(jnp.int8))
+                out.append(quantize_int8(p, a))
             return out, r
-        per[key] = _jit_cached(parts_norms)
+        slow = _jit_cached(parts_norms)
+        maker = getattr(embed_fn, "make_fast_parts_norms", None)
+        fast = maker(jnp.int8, tuple(bounds)) if maker is not None else None
+        per[key] = slow if fast is None else \
+            _fast_slow_dispatch(jax.jit(fast), slow, "int8 epilogue")
     return per[key]
 
 

@@ -211,17 +211,62 @@ def lpips_embed_parts(params: dict, x: Array, weight: float = 1.0,
         n, h, wd, c = fl.shape
         scale = jnp.sqrt(jnp.maximum(w, 0.0) * (weight / (h * wd)))
         phi = normalize_tensor(fl.astype(jnp.float32)) * scale
-        # pack narrow-channel taps to full 128-element lanes (same linear
-        # order, so the flat-equivalence invariant holds): a (HW, 64) tap
-        # would store lane-padded to (HW, 128) physically — 2x the HBM
-        # bytes in the query cache and every distance-fold read
-        cols = c
-        rows = h * wd
+        parts.append(_pack_lanes(phi.astype(dtype).reshape(n, h * wd, c)))
+    return parts
+
+
+def _pack_mode() -> str:
+    """Lane-packing permutation for narrow taps, fixed per process:
+
+    * 'halves' whenever the Pallas epilogue kernel is enabled — row p
+      carries positions p and HW/2 + p; contiguous half-slices are
+      expressible inside the kernel (a sublane-strided pairs gather is
+      not), and the XLA path MUST match it so a mid-search kernel
+      fallback never mixes packings within one cache/stream.
+    * 'pairs' otherwise — the plain (HW, C) -> (HW/2, 2C) reshape, which
+      XLA relayouts ~14 ms/2048-block faster than the halves concat
+      (measured v5e); used on CPU (golden suites) and when the kernel is
+      killed via env.
+
+    Per-part squared distances are invariant under any fixed element
+    permutation shared by both sides of the fold, so the two modes are
+    interchangeable BETWEEN runs — never within one."""
+    try:
+        from ganleaks_tpu.ops.lpips.epilogue_pallas import _enabled
+    except Exception:
+        return "pairs"
+    return "halves" if _enabled() else "pairs"
+
+
+def _pack_lanes(x: Array, mode: str | None = None) -> Array:
+    """Pack a narrow-channel (N, HW, C) tap to full 128-element lanes: a
+    (HW, 64) tap would store lane-padded to (HW, 128) physically — 2x the
+    HBM bytes in the query cache and every distance-fold read. Permutation
+    per :func:`_pack_mode`."""
+    mode = mode or _pack_mode()
+    if mode == "pairs":
+        n, rows, cols = x.shape
         while cols < 128 and rows % 2 == 0:
             cols *= 2
             rows //= 2
-        parts.append(phi.astype(dtype).reshape(n, rows, cols))
-    return parts
+        return x.reshape(n, rows, cols)
+    while x.shape[-1] < 128 and x.shape[1] % 2 == 0:
+        rows = x.shape[1] // 2
+        x = jnp.concatenate([x[:, :rows, :], x[:, rows:, :]], axis=-1)
+    return x
+
+
+def _unpack_lanes(x: Array, c: int, mode: str | None = None) -> Array:
+    """Inverse of :func:`_pack_lanes`: recover the (N, HW, C) tower-native
+    layout from a lane-packed part (tests/debugging; the engines never
+    need it — distances are permutation-invariant)."""
+    mode = mode or _pack_mode()
+    if mode == "pairs":
+        return x.reshape(x.shape[0], -1, c)
+    while x.shape[-1] > c:
+        cols = x.shape[-1] // 2
+        x = jnp.concatenate([x[..., :cols], x[..., cols:]], axis=1)
+    return x
 
 
 def lpips_part_bounds(params: dict, sample_shape: tuple,
@@ -260,18 +305,80 @@ def lpips_part_int_dot_bounds(params: dict,
     return out
 
 
+def lpips_fast_parts_norms(params: dict, weight: float, dtype,
+                           compute_dtype, cdtype, bounds=None):
+    """``blk -> ([tap parts], f32 row norms)`` with the single-pass Pallas
+    tap epilogue (``ops/lpips/epilogue_pallas``) replacing the XLA
+    normalize/scale/cast/pack/norm chain — ~2/3 of the post-tower
+    featurize cost at 64x64 bf16 on v5e. Returns None when the kernel is
+    gated off (non-TPU backend, ``GANLEAKS_NO_PALLAS_EPILOGUE``); taps
+    whose shape falls outside the kernel envelope use the XLA math inline
+    (same values, same packing). ``bounds`` switches the outputs to int8
+    quantization exactly as ``ops/knn._fused_parts_norms_q``."""
+    # the kill-switch must work even when the kernel module cannot
+    # import (pallas namespaces move across jax releases) — check the
+    # env and guard the import BEFORE touching epilogue_pallas
+    if os.environ.get("GANLEAKS_NO_PALLAS_EPILOGUE", "") not in ("", "0"):
+        return None
+    try:
+        from ganleaks_tpu.ops.lpips.epilogue_pallas import (
+            _enabled, tap_epilogue)
+    except Exception as e:
+        print(f"[lpips] pallas epilogue unavailable at import "
+              f"({type(e).__name__}); using the XLA featurize path")
+        return None
+    mode = _enabled()
+    if mode is None:
+        return None
+    interpret = mode == "interpret"
+    from ganleaks_tpu.ops.distance import quantize_int8
+
+    def fast(x: Array):
+        feats = _features(params, x, compute_dtype)
+        parts, r = [], None
+        for idx, (fl, w) in enumerate(zip(feats, params["lins"])):
+            n, h, wd, c = fl.shape
+            # scale in f32 with the same op order as lpips_embed_parts
+            sc = np.sqrt(np.maximum(np.asarray(w, np.float32), 0)
+                         * np.float32(weight / (h * wd)), dtype=np.float32)
+            qb = bounds[idx] if bounds is not None else None
+            res = tap_epilogue(fl.reshape(n, h * wd, c), sc,
+                               embed_dtype=dtype, out_dtype=cdtype,
+                               quant_bound=qb, interpret=interpret)
+            if res is None:  # outside the kernel envelope: XLA inline
+                phi = normalize_tensor(fl.astype(jnp.float32)) \
+                    * jnp.asarray(sc)
+                b = _pack_lanes(phi.astype(dtype).reshape(n, h * wd, c),
+                                mode="halves")  # kernel taps are halves
+                rl = jnp.sum(jnp.square(b.astype(jnp.float32)),
+                             axis=(1, 2))
+                out = quantize_int8(b, qb) if qb is not None \
+                    else b.astype(cdtype)
+            else:
+                out, rl = res
+            parts.append(out)
+            r = rl if r is None else r + rl
+        return parts, r
+
+    return fast
+
+
 def lpips_embed_parts_fn(params: dict, weight: float = 0.2,
                          dtype=jnp.float32, compute_dtype=None):
     """Closure form of :func:`lpips_embed_parts` for
     ``ops/distance.make_embed_parts_fn``. Carries ``part_bound_fn`` (per-
-    part elementwise magnitude bounds) and ``part_int_dot_bound_fn`` (int8
-    accumulator safety) for the quantized engine."""
+    part elementwise magnitude bounds), ``part_int_dot_bound_fn`` (int8
+    accumulator safety) for the quantized engine, and
+    ``make_fast_parts_norms`` (the fused Pallas tap epilogue)."""
     def embed(x: Array) -> list[Array]:
         return lpips_embed_parts(params, x, weight=weight, dtype=dtype,
                                  compute_dtype=compute_dtype)
     embed.part_bound_fn = lambda sample_shape: lpips_part_bounds(
         params, sample_shape, weight)
     embed.part_int_dot_bound_fn = lambda sample_shape:         lpips_part_int_dot_bounds(params, sample_shape)
+    embed.make_fast_parts_norms = lambda cdtype, bounds=None: \
+        lpips_fast_parts_norms(params, weight, dtype, compute_dtype,
+                               cdtype, bounds)
     return embed
 
 

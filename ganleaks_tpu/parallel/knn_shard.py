@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ganleaks_tpu.ops.knn import (
+    disable_fast_epilogue,
     _fold_block,
     _fold_block_parts,
     _fold_block_parts_q,
@@ -403,7 +404,18 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                                              structured, bounds)
                 parts, rq_part = gather(jax.device_put(blk, data_sh))
             except Exception as e:
-                if not _is_oom(e) or q_block <= n_dev:
+                if not _is_oom(e):
+                    # a kernel failure under the compiled mesh wrapper
+                    # surfaces here, not in the dispatch's own try/except
+                    # (which only runs eagerly) — flip to the XLA path,
+                    # rebuild the wrapper, retry once
+                    if disable_fast_epilogue(embed_fn):
+                        print("[knn-mesh] pallas epilogue failed under "
+                              "the mesh wrapper; rebuilding with the "
+                              "XLA path")
+                        continue
+                    raise
+                if q_block <= n_dev:
                     raise
                 q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
                 print(f"[knn-mesh] query featurize OOM; q_block={q_block} "
@@ -431,7 +443,14 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                     syn_flat, bufs, rq, run_d, run_i, rs_max,
                     jnp.int32(ss), jnp.int32(shard_p), jnp.int32(n_s))
             except Exception as e:
-                if not _is_oom(e) or s_block <= 1:
+                if not _is_oom(e):
+                    if disable_fast_epilogue(embed_fn):
+                        print("[knn-mesh] pallas epilogue failed under "
+                              "the mesh wrapper; rebuilding with the "
+                              "XLA path")
+                        continue
+                    raise
+                if s_block <= 1:
                     raise
                 s_block = max(1, s_block // 2)
                 print(f"[knn-mesh] synthetic stream OOM; s_block={s_block} "
@@ -755,7 +774,13 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                                         structured, bounds, q_block)
             bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
         except Exception as e:
-            if not _is_oom(e) or q_block <= 1:
+            if not _is_oom(e):
+                if disable_fast_epilogue(embed_fn):
+                    print("[knn-ring] pallas epilogue failed under the "
+                          "ring wrapper; rebuilding with the XLA path")
+                    continue
+                raise
+            if q_block <= 1:
                 raise
             q_block = max(1, q_block // 2)
             print(f"[knn-ring] query featurize OOM; q_block={q_block} "
@@ -778,7 +803,13 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                                 jnp.int32(ss), jnp.int32(shard_p),
                                 jnp.int32(n_s))
         except Exception as e:
-            if not _is_oom(e) or s_block <= 1:
+            if not _is_oom(e):
+                if disable_fast_epilogue(embed_fn):
+                    print("[knn-ring] pallas epilogue failed under the "
+                          "ring wrapper; rebuilding with the XLA path")
+                    continue
+                raise
+            if s_block <= 1:
                 raise
             s_block = max(1, s_block // 2)
             print(f"[knn-ring] synthetic stream OOM; s_block={s_block} "

@@ -61,7 +61,14 @@ def initialize(coordinator_address: str | None = None,
     if process_id is None and os.environ.get(_PID_ENV):
         process_id = int(os.environ[_PID_ENV])
 
-    already = jax.process_count() > 1
+    # gate on the distributed client's own state, NOT jax.process_count():
+    # process_count() initializes the XLA backend as a side effect, which
+    # would guarantee the initialize() below can never succeed
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older jax
+        from jax._src import distributed as _dist
+        already = _dist.global_state.client is not None
     if not already and (coordinator_address or _pod_autodetect()):
         try:
             jax.distributed.initialize(

@@ -31,14 +31,24 @@ def rng():
 
 
 def test_parts_embedding_matches_flat(rng):
-    """concat(parts flattened) == flat embedding, values and order."""
+    """concat(parts, unpacked to tower-native order) == flat embedding.
+
+    Narrow taps are lane-packed by the HALVES permutation
+    (``ops/lpips/lpips._pack_lanes``) — an order change that squared
+    distances cannot see; ``_unpack_lanes`` inverts it exactly, so the
+    values-and-order check runs against the unpacked layout."""
+    from ganleaks_tpu.ops.lpips.lpips import _unpack_lanes
+
     params = init_lpips_params(0, "vgg")
     x = jnp.asarray(rng.standard_normal((3, 16, 16, 3)).astype(np.float32))
     flat = make_embed_fn(
         "l2-lpips", lpips_embed_fn(params, weight=0.2))(x)
     parts = make_embed_parts_fn(
         "l2-lpips", lpips_embed_parts_fn(params, weight=0.2))(x)
-    cat = jnp.concatenate([p.reshape(p.shape[0], -1) for p in parts], axis=1)
+    chans = [None, 64, 128, 256, 512, 512]  # pixel part + vgg taps
+    cat = jnp.concatenate(
+        [(p if c is None else _unpack_lanes(p, c)).reshape(p.shape[0], -1)
+         for p, c in zip(parts, chans)], axis=1)
     assert cat.shape == flat.shape
     np.testing.assert_allclose(np.asarray(cat), np.asarray(flat),
                                rtol=1e-6, atol=1e-7)
