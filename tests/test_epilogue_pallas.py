@@ -206,6 +206,40 @@ def test_mesh_driver_disables_fast_on_wrapper_failure(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d2))
 
 
+def test_mesh_and_ring_with_interpret_epilogue(rng, monkeypatch):
+    """Sharded-streamed and ring engines through the (interpret) kernel
+    agree with the XLA pairs-packed path: identical indices, distances
+    equal up to f32 summation order (the packing permutes elements)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ganleaks_tpu.parallel.knn_shard import (
+        knn_argmin_ring_streamed, knn_argmin_sharded_streamed)
+
+    q = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+    s = jnp.asarray(
+        rng.standard_normal((20, 16, 16, 3)).astype(np.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("syn",))
+
+    monkeypatch.setenv("GANLEAKS_PALLAS_EPILOGUE_INTERPRET", "1")
+    d_sh, i_sh = knn_argmin_sharded_streamed(
+        _fresh_embed(jnp.bfloat16), q, s, mesh, engine="taps",
+        q_block=4, s_block=4)
+    d_ri, i_ri = knn_argmin_ring_streamed(
+        _fresh_embed(jnp.bfloat16), q, s, mesh, engine="taps",
+        q_block=2, s_block=4)
+    monkeypatch.delenv("GANLEAKS_PALLAS_EPILOGUE_INTERPRET")
+    d_x, i_x = knn_argmin_sharded_streamed(
+        _fresh_embed(jnp.bfloat16), q, s, mesh, engine="taps",
+        q_block=4, s_block=4)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_x))
+    np.testing.assert_array_equal(np.asarray(i_ri), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_x),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_ri), np.asarray(d_x),
+                               rtol=1e-5)
+
+
 def test_dispatch_falls_back_on_kernel_failure(rng, monkeypatch):
     """A failing kernel must permanently fall back to the XLA path
     mid-stream without changing results (non-OOM errors only)."""
