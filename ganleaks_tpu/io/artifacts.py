@@ -18,8 +18,6 @@ from typing import Any, Sequence
 
 import numpy as np
 
-from ganleaks_tpu.io.images import save_png
-
 
 def check_folder(path: str) -> str:
     """mkdir -p (``attack_models/utils.py:19-27``)."""
@@ -86,6 +84,11 @@ def write_synthetic_artifacts(root: str, model_name: str,
         noise = noise[:, :, None, None]
     np.savez(os.path.join(d_noise, f"{model_name}_noise.npz"), noise=noise)
 
-    for i, img in enumerate(images01):
-        save_png(img, os.path.join(d_png, f"image_{i}.png"), drange=(0.0, 1.0))
+    # float->uint8 in numpy (keeps ToPILImage floor-rounding parity with
+    # save_png, tests/test_data_parity.py), encode on the native thread pool
+    from ganleaks_tpu.io.images import to_uint8
+    from ganleaks_tpu.io.native import save_png_batch_native
+    paths = [os.path.join(d_png, f"image_{i}.png")
+             for i in range(len(images01))]
+    save_png_batch_native(to_uint8(images01, (0.0, 1.0)), paths)
     return {"npz_images": d_img, "npz_noise": d_noise, "png_images": d_png}

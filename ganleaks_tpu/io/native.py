@@ -38,8 +38,12 @@ def _load_library():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_SO_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+        src = os.path.join(_NATIVE_DIR, "ganleaks_io.cpp")
+        stale = os.path.exists(src) and (
+            not os.path.exists(_SO_PATH)
+            or os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+        if stale:
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(_SO_PATH)
         lib.gl_load_batch.restype = ctypes.c_int
@@ -47,6 +51,12 @@ def _load_library():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        if hasattr(lib, "gl_save_batch"):  # stale .so: loader-only v1
+            lib.gl_save_batch.restype = ctypes.c_int
+            lib.gl_save_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         _lib = lib
     except Exception as e:  # missing toolchain/libpng: pure-python fallback
         print(f"[native] loader unavailable ({e}); using PIL")
@@ -105,3 +115,39 @@ def load_image_dir_native(data_dir: str, resolution: int = 64,
     for i in np.nonzero(status)[0]:
         out[i] = fallback_reader(paths[i], resolution)
     return finish(out)
+
+
+def save_png_batch_native(images_u8: np.ndarray, paths: list,
+                          compress_level: int = 1,
+                          num_threads: int | None = None) -> None:
+    """Encode a uint8 NHWC RGB batch to per-image PNGs via the C++
+    thread-pool encoder, replacing the reference's python loop over
+    ToPILImage + Image.save (``train_torch.py:160-174``). PNG is lossless:
+    outputs decode pixel-identical to PIL's (byte layout differs —
+    libpng's deflate/filter choices are its own). ``compress_level``
+    defaults to 1 (best speed): the dump is a bulk artifact whose only
+    consumers re-decode it. Per-image PIL fallback on any encode error;
+    full PIL fallback when the library isn't built."""
+    images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
+    n, h, w, c = images_u8.shape
+    assert len(paths) == n and c == 3
+
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "gl_save_batch"):
+        import PIL.Image
+        for img, p in zip(images_u8, paths):
+            PIL.Image.fromarray(img).save(p)
+        return
+
+    num_threads = num_threads or min(8, os.cpu_count() or 1)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    status = np.zeros(n, np.int32)
+    lib.gl_save_batch(
+        c_paths, n, h, w,
+        images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(compress_level),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), num_threads)
+    if status.any():
+        import PIL.Image
+        for i in np.nonzero(status)[0]:
+            PIL.Image.fromarray(images_u8[i]).save(paths[i])

@@ -1,12 +1,20 @@
-// ganleaks_io — native batched image loader for the attack/training host path.
+// ganleaks_io — native batched image loader/encoder for the host path.
 //
-// The reference decodes PNGs one-by-one through PIL inside python loops
-// (attack_models/fbb.py:134, list comprehension over read_image). This
+// LOADER: the reference decodes PNGs one-by-one through PIL inside python
+// loops (attack_models/fbb.py:134, list comprehension over read_image). This
 // library decodes a whole directory batch with libpng on a thread pool and
 // fuses the uint8 -> [-1, 1] float conversion (attack_models/utils.py:82)
 // and the VAE-GAN center-crop + iterated 2x2 box downsample
 // (gan_models/vaegan/utils.py:44-71) into the decode pass, writing straight
 // into the caller-provided NHWC float32 buffer that jax.device_put consumes.
+//
+// ENCODER: the reference dumps the whole synthetic set as per-image PNGs
+// through a python loop over torchvision ToPILImage + Image.save
+// (gan_models/dcgan/train_torch.py:160-174) — O(N) interpreter round-trips
+// for N up to 100k images. gl_save_batch encodes a caller-provided uint8
+// NHWC batch with libpng on the same thread-pool pattern. PNG is lossless,
+// so artifact parity is at the pixel level (decode-identical), not the byte
+// level: libpng's filter/deflate choices differ from PIL's.
 //
 // Exact-parity contract: outputs are bit-identical to the Python readers for
 //   * images already at the target resolution (mode EXACT), and
@@ -160,6 +168,36 @@ int postprocess(const Image& img, int resolution, int mode, float* dst) {
   return kOk;
 }
 
+int encode_png_rgb(const char* path, const uint8_t* pixels, int h, int w,
+                   int compress_level) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return kErrOpen;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+    std::fclose(fp);
+    return kErrDecode;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, compress_level);
+  // small synthetic images compress little either way; NONE filtering trades
+  // a few % of file size for skipping the per-row filter heuristic entirely
+  if (compress_level <= 1) png_set_filter(png, 0, PNG_FILTER_NONE);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(pixels + static_cast<size_t>(y) * w * 3);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return kOk;
+}
+
 }  // namespace
 
 extern "C" {
@@ -196,6 +234,36 @@ int gl_load_batch(const char** paths, int n, int resolution, int mode,
   return failures.load();
 }
 
-int gl_version() { return 1; }
+// Encode `n` HWC uint8 RGB images (contiguous (n, h, w, 3) batch) to the
+// given PNG paths. `status[i]` receives a per-image code (0 ok; nonzero =>
+// caller should fall back to the Python writer). Returns failure count.
+int gl_save_batch(const char** paths, int n, int h, int w,
+                  const uint8_t* data, int compress_level, int* status,
+                  int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(h) * w * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int rc =
+          encode_png_rgb(paths[i], data + stride * i, h, w, compress_level);
+      status[i] = rc;
+      if (rc != kOk) failures.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  const int workers = n_threads > n ? n : n_threads;
+  pool.reserve(workers);
+  for (int t = 0; t < workers; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+int gl_version() { return 2; }
 
 }  // extern "C"
