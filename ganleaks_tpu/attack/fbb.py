@@ -79,6 +79,22 @@ def build_embed_fn(cfg: AttackConfig, dtype=None, structured: bool = False):
         dtype=dtype)
 
 
+def resolve_auto_engine(cfg: AttackConfig) -> AttackConfig:
+    """``engine='auto'``: pick the fastest configuration for the current
+    backend. On TPU that is the quickstart throughput recipe — taps-int8
+    parts with the bf16 tower (rigorously bounded score error,
+    docs/PERF.md; add ``two_pass=True`` for certified-exact indices).
+    Anywhere else (CPU golden/parity runs) it is the reference-parity
+    f32 gemm fold. A non-'auto' config passes through untouched."""
+    if cfg.engine != "auto":
+        return cfg
+    if jax.default_backend() == "tpu":
+        return replace(cfg, engine="taps-int8", dtype="bfloat16",
+                       lpips_compute_dtype=cfg.lpips_compute_dtype
+                       or "bfloat16")
+    return replace(cfg, engine="gemm")
+
+
 def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                   neg: np.ndarray, mesh=None,
                   logger: MetricsLogger | None = None) -> dict:
@@ -91,6 +107,9 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
     """
     logger = logger or MetricsLogger(echo=False)
+    if cfg.engine == "auto":
+        cfg = resolve_auto_engine(cfg)
+        logger.log({"engine_resolved": cfg.engine, "dtype": cfg.dtype})
     # every embed closure is built ONCE: the per-closure compile caches
     # (fused embed+norms, mesh shard_map wrappers) live on the closure
     # object, so rebuilding per search() would recompile the whole tower

@@ -124,7 +124,11 @@ class AttackConfig:
     hyperparameter_search: bool = False
     params: str | None = None
     save_root: str = "fbb_attack"
-    engine: str = "gemm"           # 'gemm' (MXU fold) | 'pallas' (fused
+    engine: str = "gemm"           # 'auto' (fastest for the backend:
+                                   # taps-int8 + bf16 tower on TPU,
+                                   # gemm f32 elsewhere — resolved in
+                                   # attack.fbb.resolve_auto_engine)
+                                   # | 'gemm' (MXU fold) | 'pallas' (fused
                                    # VMEM-argmin kernel) | 'taps'
                                    # (tap-structured embeddings, no flat
                                    # relayout — fastest; docs/PERF.md) |

@@ -93,3 +93,33 @@ def test_attack_modes_agree(rng):
                                       ref["neg_nn_idx"])
         np.testing.assert_allclose(out["pos_loss"], ref["pos_loss"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_engine_auto_resolution(rng, monkeypatch):
+    """engine='auto' resolves per backend: reference-parity gemm on CPU,
+    the taps-int8 + bf16 throughput recipe on TPU; explicit engines pass
+    through untouched, and the E2E result equals the gemm run."""
+    from ganleaks_tpu.attack.fbb import attack_arrays, resolve_auto_engine
+    from ganleaks_tpu.config import AttackConfig
+
+    auto = AttackConfig(distance="l2", engine="auto", syn_block=16,
+                        query_block=8, save_plots=False)
+    r = resolve_auto_engine(auto)  # CPU test env
+    assert (r.engine, r.dtype) == ("gemm", "float32")
+    assert resolve_auto_engine(
+        AttackConfig(engine="exact")).engine == "exact"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    t = resolve_auto_engine(auto)
+    assert (t.engine, t.dtype, t.lpips_compute_dtype) == \
+        ("taps-int8", "bfloat16", "bfloat16")
+    monkeypatch.undo()
+
+    syn = rng.uniform(-1, 1, (40, 8, 8, 3)).astype(np.float32)
+    pos = syn[:8] + rng.normal(0, 0.05, (8, 8, 8, 3)).astype(np.float32)
+    neg = rng.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
+    out = attack_arrays(auto, syn, pos, neg)
+    ref = attack_arrays(
+        AttackConfig(**{**auto.__dict__, "engine": "gemm"}), syn, pos, neg)
+    np.testing.assert_array_equal(out["pos_nn_idx"], ref["pos_nn_idx"])
+    np.testing.assert_allclose(out["neg_loss"], ref["neg_loss"], rtol=1e-6)
