@@ -73,6 +73,58 @@ def test_acquire_devices_health_probe():
     assert g._probe_device(jax.devices()[0])
 
 
+def test_acquire_devices_hanging_enumeration_bails_out():
+    """Dead-relay regression (2026-08-17): backend INITIALIZATION hangs —
+    ``jax.devices()`` never returns, never raises. Enumeration must be
+    deadline-bounded, and a timeout must abort the whole in-process
+    search (the hung init thread holds jax's backend lock, so probing
+    the next platform would block on it too) so the caller drops to the
+    CPU-mesh subprocess."""
+    import time
+
+    import __graft_entry__ as g
+
+    # a poisoned enumeration aborts the platform loop without probing
+    probed = []
+    enum_calls = []
+
+    def fake_enumerate(platform, timeout_s=0.2):
+        enum_calls.append(platform)
+        return None, True  # what _enumerate_devices returns on timeout
+
+    t0 = time.monotonic()
+    out = g._acquire_devices(8, probe=lambda d: probed.append(d) or True,
+                             platforms=(None, "cpu"),
+                             enumerate=fake_enumerate)
+    assert out is None
+    assert enum_calls == [None], "poisoned process must not try more platforms"
+    assert not probed, "nothing must be probed after an enumeration hang"
+    assert time.monotonic() - t0 < 5.0
+
+    # the real helper enforces its deadline on a genuinely stuck callable
+    import threading
+    release = threading.Event()
+    orig_devices = jax.devices
+
+    def stuck_devices(platform=None):
+        release.wait(30.0)  # far past the test deadline
+        return orig_devices(platform)
+
+    try:
+        jax.devices = stuck_devices
+        t0 = time.monotonic()
+        devs, poisoned = g._enumerate_devices("cpu", timeout_s=0.5)
+        assert poisoned and devs is None
+        assert time.monotonic() - t0 < 5.0
+    finally:
+        jax.devices = orig_devices
+        release.set()  # unblock the daemon thread promptly
+
+    # healthy path still works through the deadline wrapper
+    devs, poisoned = g._enumerate_devices("cpu", timeout_s=60.0)
+    assert not poisoned and devs is not None and len(devs) >= 8
+
+
 def test_dryrun_pins_default_device(monkeypatch):
     """MULTICHIP_r02 regression: eager ops inside the dryrun body must be
     committed to the ACQUIRED mesh's platform, not whatever the process
@@ -94,6 +146,48 @@ def test_dryrun_pins_default_device(monkeypatch):
     with jax.default_device(devices[3]):  # hostile ambient default
         g.dryrun_multichip(8)
     assert seen["dev"] == devices[0]
+
+
+def test_dryrun_body_deadline_on_remote_platform(monkeypatch):
+    """Wedged-tunnel regression: the health probe proves one answer, not
+    liveness — on a non-CPU platform the body runs under a deadline and a
+    hang must surface as TimeoutError (-> subprocess fallback), while CPU
+    devices run undeadlined (cold compiles may exceed any sane timeout)."""
+    import threading
+    import types
+
+    import __graft_entry__ as g
+
+    release = threading.Event()
+    ran = {}
+
+    def wedged_body(devs, n):
+        ran["started"] = True
+        release.wait(30.0)
+
+    monkeypatch.setattr(g, "_dryrun_on_devices", wedged_body)
+    fake_tpu = types.SimpleNamespace(platform="tpu")
+    try:
+        import pytest
+
+        with pytest.raises(TimeoutError, match="wedged"):
+            g._run_body_with_deadline([fake_tpu], 8, timeout_s=0.3)
+        assert ran.get("started")
+    finally:
+        release.set()
+
+    # CPU platform: direct call, no thread, exceptions propagate untouched
+    def boom(devs, n):
+        raise ValueError("direct")
+
+    monkeypatch.setattr(g, "_dryrun_on_devices", boom)
+    fake_cpu = types.SimpleNamespace(platform="cpu")
+    try:
+        g._run_body_with_deadline([fake_cpu], 8)
+    except ValueError as e:
+        assert "direct" in str(e)
+    else:
+        raise AssertionError("CPU-path exception must propagate")
 
 
 def test_dryrun_falls_back_to_subprocess_on_body_failure(monkeypatch):
