@@ -202,7 +202,9 @@ def test_train_2afc_improves_accuracy_and_keeps_lins_nonneg(rng):
         jax.random.uniform(k, w.shape, jnp.float32, 0.0, 2.0 / w.size)
         for k, w in zip(jax.random.split(key, len(params["lins"])),
                         params["lins"])]
-    batches = _make_triplets(rng)
+    # 2 batches x 3 epochs: the smallest run that reliably clears the
+    # acc>0.6 bar (6x48 learns no better, 3x its wall-clock on 1 core)
+    batches = _make_triplets(rng, n=32)
 
     def dist(a, b):
         return np.asarray(lpips_pair(params, jnp.asarray(a),
@@ -214,7 +216,7 @@ def test_train_2afc_improves_accuracy_and_keeps_lins_nonneg(rng):
     acc_before = score_2afc(d0_before, d1_before, gts)
 
     trained, rank, hist = train_2afc(
-        params, batches, epochs=6, decay_epochs=4, lr=5e-3, seed=0)
+        params, batches, epochs=3, decay_epochs=2, lr=5e-3, seed=0)
 
     assert all(float(np.min(np.asarray(w))) >= 0.0
                for w in trained["lins"])
