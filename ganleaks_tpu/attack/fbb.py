@@ -263,6 +263,11 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
             cfg, syn_data_path=subdir,
             params=(subdir.rstrip("/").split("/")[-1]
                     if cfg.hyperparameter_search else cfg.params))
+        # resolve 'auto' BEFORE the params dump: the artifact must record
+        # the configuration that actually produced the results (engine,
+        # dtype), or a reproduction from params.txt on another backend
+        # silently runs a different search
+        sub_cfg = resolve_auto_engine(sub_cfg)
         # SPMD contract: every process runs the same search; only
         # process 0 touches the (possibly shared) filesystem
         is_main = jax.process_index() == 0

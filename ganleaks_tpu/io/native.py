@@ -130,7 +130,13 @@ def save_png_batch_native(images_u8: np.ndarray, paths: list,
     full PIL fallback when the library isn't built."""
     images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
     n, h, w, c = images_u8.shape
-    assert len(paths) == n and c == 3
+    # a real error, not an assert (stripped under python -O): mismatched
+    # lengths would hand the C encoder NULL path slots, a wrong channel
+    # count a wrong pixel stride
+    if len(paths) != n or c != 3:
+        raise ValueError(f"save_png_batch_native: {n} images (c={c}) "
+                         f"vs {len(paths)} paths; need equal counts and "
+                         f"RGB (c=3)")
 
     lib = _load_library()
     if lib is None or not hasattr(lib, "gl_save_batch"):

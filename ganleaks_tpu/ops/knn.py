@@ -573,6 +573,42 @@ def disable_fast_epilogue(embed_fn) -> bool:
     return flipped
 
 
+def _retry_without_fast_epilogue(embed_fn, thunk):
+    """Run ``thunk`` (a whole single-chip streamed search), retrying ONCE
+    on the XLA epilogue path if a non-OOM error escapes while the Pallas
+    fast path was active.
+
+    :func:`_fast_slow_dispatch`'s per-block try/except only catches
+    errors raised synchronously at dispatch; under JAX's async dispatch a
+    kernel EXECUTION failure surfaces later, at a consuming op (the
+    distance fold, or the caller's readback) — outside that try. The
+    search is stateless-restartable (same property the OOM resume relies
+    on), so the driver-level retry re-runs it against the flipped-to-XLA
+    dispatch. OOMs re-raise untouched: one escaping ``_stream_search``
+    means the halving resume is already exhausted.
+
+    The one-element readback is what SURFACES a deferred execution error
+    inside this try: on the tunneled backend even ``block_until_ready``
+    can return before execution finishes, so without it the error would
+    burst at the caller's own readback, past the retry. One element per
+    output array (never ravel/reshape — that copies the whole array)
+    costs a single ~40ms round trip per search."""
+    def run():
+        out = thunk()
+        for a in jax.tree_util.tree_leaves(out):
+            np.asarray(a[(0,) * a.ndim])
+        return out
+
+    try:
+        return run()
+    except Exception as e:
+        if _is_oom(e) or not disable_fast_epilogue(embed_fn):
+            raise
+        print(f"[knn] pallas epilogue failed at execution "
+              f"({type(e).__name__}); retrying on the XLA path")
+        return run()
+
+
 def _fused_parts_norms(embed_fn, cdtype):
     """jit-cached ``blk -> ([parts cast to cdtype], f32 row norms summed
     over parts)`` — same fusion rationale as :func:`_fused_embed_norms`.
@@ -838,11 +874,11 @@ def knn_argmin_streamed_parts(embed_fn, queries: Array, syn: Array, *,
     def take(state, n_rows: int):
         return state[0][:n_rows], state[1][:n_rows]
 
-    return _stream_search(block_norms, probe, queries, syn,
-                          q_block=q_block, s_block=s_block,
-                          query_cache_bytes=query_cache_bytes,
-                          cdtype=cdtype, init_state=init_state, fold=fold,
-                          take=take)
+    return _retry_without_fast_epilogue(embed_fn, lambda: _stream_search(
+        block_norms, probe, queries, syn,
+        q_block=q_block, s_block=s_block,
+        query_cache_bytes=query_cache_bytes,
+        cdtype=cdtype, init_state=init_state, fold=fold, take=take))
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -941,11 +977,11 @@ def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
                                           k)
 
     init_state, fold, take = _topk_state_hooks(fold_one, k, with_info)
-    return _stream_search(block_norms, probe, queries, syn,
-                          q_block=q_block, s_block=s_block,
-                          query_cache_bytes=query_cache_bytes,
-                          cdtype=cdtype, init_state=init_state, fold=fold,
-                          take=take)
+    return _retry_without_fast_epilogue(embed_fn, lambda: _stream_search(
+        block_norms, probe, queries, syn,
+        q_block=q_block, s_block=s_block,
+        query_cache_bytes=query_cache_bytes,
+        cdtype=cdtype, init_state=init_state, fold=fold, take=take))
 
 
 @partial(jax.jit, static_argnames=("k", "engine"))

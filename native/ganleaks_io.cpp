@@ -170,6 +170,14 @@ int postprocess(const Image& img, int resolution, int mode, float* dst) {
 
 int encode_png_rgb(const char* path, const uint8_t* pixels, int h, int w,
                    int compress_level) {
+  // rows is constructed AND fully written before the setjmp: a libpng
+  // error longjmps back to it, and both skipping a live vector's
+  // destructor and reading a local mutated between setjmp and longjmp
+  // are undefined behavior (in practice: h*8 bytes leaked per failed
+  // encode, e.g. every image once the disk fills mid-dump).
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(pixels + static_cast<size_t>(y) * w * 3);
   FILE* fp = std::fopen(path, "wb");
   if (!fp) return kErrOpen;
   png_structp png =
@@ -188,9 +196,6 @@ int encode_png_rgb(const char* path, const uint8_t* pixels, int h, int w,
   png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
-  for (int y = 0; y < h; ++y)
-    rows[y] = const_cast<png_bytep>(pixels + static_cast<size_t>(y) * w * 3);
   png_write_image(png, rows.data());
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);

@@ -123,3 +123,43 @@ def test_engine_auto_resolution(rng, monkeypatch):
         AttackConfig(**{**auto.__dict__, "engine": "gemm"}), syn, pos, neg)
     np.testing.assert_array_equal(out["pos_nn_idx"], ref["pos_nn_idx"])
     np.testing.assert_allclose(out["neg_loss"], ref["neg_loss"], rtol=1e-6)
+
+
+def test_run_attack_params_dump_records_resolved_engine(rng, tmp_path):
+    """Provenance: the params.txt/pkl artifact must record the engine that
+    actually ran (engine='auto' resolved per backend), or a reproduction
+    from the dump on another backend silently runs a different search."""
+    import os
+    import pickle
+
+    from ganleaks_tpu.attack.fbb import run_attack
+    from ganleaks_tpu.config import AttackConfig
+    from ganleaks_tpu.io import save_png
+
+    dirs = {}
+    for name, n in [("syn", 16), ("pos", 3), ("neg", 3)]:
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(n):
+            img = rng.integers(0, 256, (8, 8, 3))
+            save_png(img.astype(np.float64) / 255.0, str(d / f"{i}.png"))
+        dirs[name] = str(d)
+
+    cfg = AttackConfig(
+        exp_name="prov", syn_data_path=dirs["syn"],
+        pos_data_dir=dirs["pos"], neg_data_dir=dirs["neg"],
+        data_num=3, resolution=8, distance="l2", engine="auto",
+        query_block=2, syn_block=8,
+        save_root=str(tmp_path / "out"), save_plots=False)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run_attack(cfg)
+    finally:
+        os.chdir(cwd)
+    exp = str(tmp_path / "out" / "prov")  # save_root/exp_name
+    with open(os.path.join(exp, "params.pkl"), "rb") as f:
+        params = pickle.load(f)
+    assert params["engine"] == "gemm"  # resolved for this (CPU) backend
+    txt = open(os.path.join(exp, "params.txt")).read()
+    assert "engine:gemm" in txt and "engine:auto" not in txt

@@ -267,3 +267,75 @@ def test_dispatch_falls_back_on_kernel_failure(rng, monkeypatch):
     ps, _ = slow(x)
     for a, b in zip(p1, ps):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_single_chip_driver_retries_on_deferred_execution_failure(
+        rng, monkeypatch):
+    """Async-dispatch regression: a kernel EXECUTION failure surfaces at a
+    consuming op or readback, not at the dispatch's own try/except. The
+    single-chip streamed drivers must flip to the XLA path and retry the
+    whole (stateless-restartable) search once."""
+    import ganleaks_tpu.ops.knn as knn
+
+    monkeypatch.setenv("GANLEAKS_PALLAS_EPILOGUE_INTERPRET", "1")
+    q = jnp.asarray(rng.standard_normal((6, 16, 16, 3)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((12, 16, 16, 3)).astype(np.float32))
+
+    embed = _fresh_embed(jnp.bfloat16)
+    orig = knn._stream_search
+    calls = {"n": 0}
+
+    def deferred_failure(*a, **k):
+        out = orig(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:  # as if the error burst at the final readback
+            raise RuntimeError("XlaRuntimeError: deferred kernel failure")
+        return out
+
+    monkeypatch.setattr(knn, "_stream_search", deferred_failure)
+    d, i = knn.knn_argmin_streamed_parts(embed, q, s, q_block=4, s_block=8)
+    assert calls["n"] == 2  # failed once, retried once
+    # the retry flipped this embed's cached dispatch to the XLA path
+    assert not knn.disable_fast_epilogue(embed)
+
+    monkeypatch.setattr(knn, "_stream_search", orig)
+    ref_embed = _fresh_embed(jnp.bfloat16)
+    knn.disable_fast_epilogue(ref_embed)
+    d2, i2 = knn.knn_argmin_streamed_parts(ref_embed, q, s,
+                                           q_block=4, s_block=8)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+    # parts are bitwise-equal across paths; row norms differ in summation
+    # order (kernel accumulator vs jnp.sum), so d agrees to ~f32 ULPs
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d2), rtol=1e-5)
+
+
+def test_retry_wrapper_reraises_oom_and_no_fast_failures():
+    """OOMs must reach the caller untouched (the halving resume already
+    ran), and a failure with no active fast dispatch (CPU, or already
+    flipped) must not retry."""
+    import pytest
+
+    import ganleaks_tpu.ops.knn as knn
+
+    class _NoFast:
+        pass
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        knn._retry_without_fast_epilogue(_NoFast(), boom)
+    assert calls["n"] == 1
+
+    calls["n"] = 0
+
+    def plain():
+        calls["n"] += 1
+        raise RuntimeError("Mosaic refused")
+
+    with pytest.raises(RuntimeError, match="Mosaic"):
+        knn._retry_without_fast_epilogue(_NoFast(), plain)
+    assert calls["n"] == 1  # nothing to flip -> no blind second attempt

@@ -32,6 +32,26 @@ def test_initialize_is_noop_single_process(monkeypatch):
     assert multihost.initialize() == (0, 1)
 
 
+def test_initialize_rejects_partial_explicit_config(monkeypatch):
+    """num_processes>1 or process_id>0 without a coordinator (and without
+    pod metadata) must raise — otherwise every rank runs as an independent
+    'process 0' and N redundant runs race-write the same save_dir."""
+    import pytest
+
+    for var in ("GANLEAKS_COORDINATOR", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("GANLEAKS_NUM_PROCESSES", "4")
+    monkeypatch.setenv("GANLEAKS_PROCESS_ID", "2")
+    with pytest.raises(ValueError, match="no coordinator"):
+        multihost.initialize()
+    monkeypatch.delenv("GANLEAKS_NUM_PROCESSES")
+    with pytest.raises(ValueError, match="no coordinator"):
+        multihost.initialize()  # process_id alone is just as partial
+    monkeypatch.delenv("GANLEAKS_PROCESS_ID")
+    assert multihost.initialize() == (0, 1)  # clean env stays a no-op
+
+
 def test_pod_autodetect_gates_on_env(monkeypatch):
     for var in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
                 "CLOUD_TPU_TASK_ID"):

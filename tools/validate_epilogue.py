@@ -45,17 +45,16 @@ def timed(fn, *args, reps=6):
 
 
 def xla_epilogue(fl, scale, embed_dtype):
-    """The fallback composition (``ops/lpips/lpips`` semantics): normalize,
-    scale, cast; rn from the rounded values; halves lane-packing for C=64."""
-    from ganleaks_tpu.ops.lpips.epilogue_pallas import _EPS_NORM
+    """The fallback composition, built from the PRODUCTION pieces
+    (``ops/lpips/lpips.normalize_tensor`` + ``_pack_lanes`` in 'halves'
+    mode — the packing the kernel emits), not a hand-rolled copy: this
+    tool certifies the kernel against the path the dispatch actually
+    falls back to, so it must track that path's code, not mirror it."""
+    from ganleaks_tpu.ops.lpips.lpips import _pack_lanes, normalize_tensor
     x = fl.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    b = (x / (norm + _EPS_NORM) * scale).astype(embed_dtype)
+    b = (normalize_tensor(x) * scale).astype(embed_dtype)
     rn = jnp.sum(jnp.square(b.astype(jnp.float32)), axis=(1, 2))
-    if fl.shape[-1] == 64:
-        h = fl.shape[1] // 2
-        b = jnp.concatenate([b[:, :h], b[:, h:]], axis=-1)
-    return b, rn
+    return _pack_lanes(b, mode="halves"), rn
 
 
 def main(argv=None) -> int:
