@@ -39,3 +39,28 @@ def test_shipped_configs_parse():
     pcfg = parse_config(PGGANConfig,
                         ["--local_config", "configs/pggan_config.yaml"])
     assert pcfg.nz == 512 and pcfg.batch_sizes == (32,) * 5
+
+
+def test_every_cli_imports_and_parses_help():
+    """All 14 CLI entry points (one per reference entry script) must
+    import and wire an argument parser — catches broken imports or
+    argparse regressions without running any training."""
+    import importlib
+    import pkgutil
+
+    import pytest
+
+    import ganleaks_tpu.cli as cli_pkg
+
+    mains = []
+    for m in pkgutil.iter_modules(cli_pkg.__path__):
+        if m.name == "common":
+            continue
+        mod = importlib.import_module(f"ganleaks_tpu.cli.{m.name}")
+        assert callable(getattr(mod, "main", None)), m.name
+        mains.append(mod.main)
+    assert len(mains) == 13  # one per reference entry script + tabular fbb
+    for main in mains:
+        with pytest.raises(SystemExit) as exc:
+            main(["--help"])
+        assert exc.value.code == 0
