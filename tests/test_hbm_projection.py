@@ -1,0 +1,37 @@
+"""Static HBM projection tool (tools/hbm_projection.py): consistency of
+the sizing arithmetic with the engines' accounting."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.hbm_projection import project
+
+NS = dict(n_q=20000, n_syn=100000, resolution=64, q_block=2048,
+          s_block=2048, hbm_gb=16.0)
+
+
+def test_north_star_fits_and_f32_does_not():
+    u8 = project(engine="taps-int8", dtype="bfloat16", store="uint8",
+                 cache_gb=8.0, **NS)
+    assert u8["fits"]  # the measured 11.6 s configuration
+    f32 = project(engine="gemm", dtype="float32", store="float32",
+                  cache_gb=12.0, **NS)
+    assert not f32["fits"]  # why uint8 residency exists (BASELINE.md)
+
+
+def test_projection_scaling_relations():
+    base = project(engine="taps", dtype="bfloat16", store="bfloat16",
+                   cache_gb=8.0, **NS)
+    i8 = project(engine="taps-int8", dtype="bfloat16", store="bfloat16",
+                 cache_gb=8.0, **NS)
+    assert i8["row_bytes"] * 2 == base["row_bytes"]  # int8 = half of bf16
+    half_cache = project(engine="taps", dtype="bfloat16", store="bfloat16",
+                         cache_gb=4.0, **NS)
+    assert half_cache["sweeps"] >= base["sweeps"]
+    assert half_cache["chunk_rows"] <= base["chunk_rows"]
+    u8 = project(engine="taps", dtype="bfloat16", store="uint8",
+                 cache_gb=8.0, **NS)
+    assert u8["images"] * 4 == project(
+        engine="taps", dtype="bfloat16", store="float32",
+        cache_gb=8.0, **NS)["images"]
