@@ -252,3 +252,22 @@ def test_oom_at_minimum_block_reraises(eager_knn):
         knn_argmin_streamed(embed, jnp.asarray(tagged(4, 1000.0)),
                             jnp.asarray(tagged(8, 0.0)), s_block=8,
                             q_block=8)
+
+
+def test_randomized_oom_schedules_match_clean(eager_knn):
+    """Differential fuzz over injection schedules: any combination of up
+    to two RESOURCE_EXHAUSTED failures at random call indices must leave
+    the result identical to the clean run (the deterministic tests above
+    pin WHERE the resume logic acts; this pins that no schedule corrupts
+    the fold)."""
+    rng = np.random.default_rng(7)
+    queries, syn = tagged(10, 1000.0), tagged(37, 0.0)  # non-dividing
+    want_d, want_i = clean_result(queries, syn)
+    for _ in range(12):
+        fail_on = set(rng.integers(1, 40,
+                                   size=int(rng.integers(1, 3))).tolist())
+        embed = InjectingEmbed(fail_on_calls=fail_on)
+        d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                                   jnp.asarray(syn), s_block=8, q_block=4)
+        np.testing.assert_array_equal(np.asarray(i), want_i), fail_on
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6)
