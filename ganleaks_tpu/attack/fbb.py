@@ -267,6 +267,7 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         # the configuration that actually produced the results (engine,
         # dtype), or a reproduction from params.txt on another backend
         # silently runs a different search
+        was_auto = sub_cfg.engine == "auto"
         sub_cfg = resolve_auto_engine(sub_cfg)
         # SPMD contract: every process runs the same search; only
         # process 0 touches the (possibly shared) filesystem
@@ -276,6 +277,11 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
             dump_params(save_dir, sub_cfg)
         logger = MetricsLogger(os.path.join(save_dir, "metrics.jsonl")
                                if is_main else None, echo=is_main)
+        if was_auto:  # attack_arrays sees the resolved cfg; keep the
+            # engine_resolved record in metrics.jsonl (it logged this
+            # before resolution moved up for params-dump provenance)
+            logger.log({"engine_resolved": sub_cfg.engine,
+                        "dtype": sub_cfg.dtype})
 
         from ganleaks_tpu.io.native import load_image_dir_native
 

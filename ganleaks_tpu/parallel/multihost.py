@@ -61,19 +61,6 @@ def initialize(coordinator_address: str | None = None,
     if process_id is None and os.environ.get(_PID_ENV):
         process_id = int(os.environ[_PID_ENV])
 
-    # Partial EXPLICIT config must fail loudly, not degrade: with
-    # num_processes/process_id set but no coordinator (and no pod
-    # metadata), every rank would silently come up as an independent
-    # single-process "process 0" — N redundant full-size runs all
-    # believing they are is_main, race-writing the same save_dir.
-    if (coordinator_address is None and not _pod_autodetect()
-            and ((num_processes or 1) > 1 or (process_id or 0) > 0)):
-        raise ValueError(
-            f"multihost: num_processes={num_processes} "
-            f"process_id={process_id} but no coordinator address "
-            f"({_COORD_ENV}) and no pod metadata — refusing to run "
-            f"single-process with multi-process config")
-
     # gate on the distributed client's own state, NOT jax.process_count():
     # process_count() initializes the XLA backend as a side effect, which
     # would guarantee the initialize() below can never succeed
@@ -82,6 +69,23 @@ def initialize(coordinator_address: str | None = None,
     except AttributeError:  # older jax
         from jax._src import distributed as _dist
         already = _dist.global_state.client is not None
+
+    # Partial EXPLICIT config must fail loudly, not degrade: with
+    # num_processes/process_id set but no coordinator (and no pod
+    # metadata), every rank would silently come up as an independent
+    # single-process "process 0" — N redundant full-size runs all
+    # believing they are is_main, race-writing the same save_dir.
+    # Checked only when NOT already wired up: a live multi-process
+    # runtime (outer launcher, earlier explicit initialize()) keeps the
+    # idempotency promise and just reports the current topology.
+    if (not already and coordinator_address is None
+            and not _pod_autodetect()
+            and ((num_processes or 1) > 1 or (process_id or 0) > 0)):
+        raise ValueError(
+            f"multihost: num_processes={num_processes} "
+            f"process_id={process_id} but no coordinator address "
+            f"({_COORD_ENV}) and no pod metadata — refusing to run "
+            f"single-process with multi-process config")
     if not already and (coordinator_address or _pod_autodetect()):
         try:
             jax.distributed.initialize(

@@ -163,3 +163,6 @@ def test_run_attack_params_dump_records_resolved_engine(rng, tmp_path):
     assert params["engine"] == "gemm"  # resolved for this (CPU) backend
     txt = open(os.path.join(exp, "params.txt")).read()
     assert "engine:gemm" in txt and "engine:auto" not in txt
+    # the metrics stream keeps its engine_resolved record too
+    metrics = open(os.path.join(exp, "metrics.jsonl")).read()
+    assert '"engine_resolved": "gemm"' in metrics

@@ -42,9 +42,10 @@ def test_shipped_configs_parse():
 
 
 def test_every_cli_imports_and_parses_help():
-    """All 14 CLI entry points (one per reference entry script) must
-    import and wire an argument parser — catches broken imports or
-    argparse regressions without running any training."""
+    """All 13 CLI entry points (one per reference entry script, plus the
+    tabular fbb CLI) must import and wire an argument parser — catches
+    broken imports or argparse regressions without running any
+    training."""
     import importlib
     import pkgutil
 

@@ -1,11 +1,7 @@
 """Static HBM projection tool (tools/hbm_projection.py): consistency of
 the sizing arithmetic with the engines' accounting."""
 
-import sys
-
-sys.path.insert(0, "/root/repo")
-
-from tools.hbm_projection import project
+from tools.hbm_projection import project  # repo root on path via conftest
 
 NS = dict(n_q=20000, n_syn=100000, resolution=64, q_block=2048,
           s_block=2048, hbm_gb=16.0)

@@ -269,5 +269,7 @@ def test_randomized_oom_schedules_match_clean(eager_knn):
         embed = InjectingEmbed(fail_on_calls=fail_on)
         d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
                                    jnp.asarray(syn), s_block=8, q_block=4)
-        np.testing.assert_array_equal(np.asarray(i), want_i), fail_on
-        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i), want_i,
+                                      err_msg=f"fail_on={sorted(fail_on)}")
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6,
+                                   err_msg=f"fail_on={sorted(fail_on)}")

@@ -34,26 +34,16 @@ def project(n_q: int, n_syn: int, resolution: int, engine: str,
     import jax
     import jax.numpy as jnp
 
+    from ganleaks_tpu.attack.fbb import build_embed_fn
+    from ganleaks_tpu.config import AttackConfig
     from ganleaks_tpu.ops.knn import _phys_row_bytes
 
     structured = engine in ("taps", "taps-int8")
-    if structured:
-        from ganleaks_tpu.ops.distance import make_embed_parts_fn
-        from ganleaks_tpu.ops.lpips import (
-            default_lpips_params, lpips_embed_parts_fn)
-        params = default_lpips_params("vgg")
-        embed = make_embed_parts_fn(
-            distance, lpips_embed_parts_fn(params, weight=0.2,
-                                           dtype=jnp.dtype(dtype)),
-            dtype=jnp.dtype(dtype))
-    else:
-        from ganleaks_tpu.ops.distance import make_embed_fn
-        from ganleaks_tpu.ops.lpips import default_lpips_params, lpips_embed_fn
-        params = default_lpips_params("vgg")
-        embed = make_embed_fn(
-            distance, lpips_embed_fn(params, weight=0.2,
-                                     dtype=jnp.dtype(dtype)),
-            dtype=jnp.dtype(dtype))
+    # the SAME featurizer construction the attack driver uses (weight,
+    # net, flat-vs-parts wiring) — a local copy would drift silently
+    embed = build_embed_fn(
+        AttackConfig(distance=distance, dtype=dtype, engine=engine),
+        structured=structured)
 
     img = jax.ShapeDtypeStruct((1, resolution, resolution, 3),
                                jnp.uint8 if store == "uint8"
@@ -61,13 +51,15 @@ def project(n_q: int, n_syn: int, resolution: int, engine: str,
     probe = jax.eval_shape(embed, img)
     probe = list(probe) if isinstance(probe, (list, tuple)) else [probe]
 
-    # cache row bytes at the STREAM dtype (what _stream_search caches):
-    # int8 for taps-int8, bf16 for bf16-demoted streams, else the embed
-    # dtype
+    # cache row bytes at the STREAM dtype (what _stream_search caches) on
+    # the TPU this tool sizes for: int8 for taps-int8; otherwise f32
+    # embeddings demote to a bf16 stream ON TPU (_stream_demote — this
+    # process is pinned to CPU, so mirror the decision rather than call
+    # it), and bf16 stays bf16
     if engine == "taps-int8":
         cdtype = jnp.int8
-    elif jnp.dtype(dtype) == jnp.bfloat16:
-        cdtype = jnp.bfloat16
+    elif jnp.dtype(probe[0].dtype).itemsize >= 4:
+        cdtype = jnp.bfloat16  # _stream_demote on the TPU target
     else:
         cdtype = probe[0].dtype
     row = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
