@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
@@ -65,10 +64,10 @@ def _epilogue_math(x: Array, scale: Array, embed_dtype, out_dtype,
 def _kern_wide(x_ref, scale_ref, out_ref, rn_ref, *, embed_dtype,
                out_dtype, quant_bound):
     """C >= 128 taps: no packing. Grid (N, P/bp); rn accumulates over the
-    sequential P-tile dimension. ``rn_ref`` is the WHOLE (N, 1) array in
-    SMEM (unblocked: a (1, 1) block would break the VMEM lane-tiling
-    rule), indexed by the image grid id."""
-    n_i = pl.program_id(0)
+    sequential P-tile dimension into a lane-broadcast (1, 128) VMEM block
+    that stays resident across the inner grid dimension (all 128 lanes
+    carry the same per-image scalar; an SMEM (N, 1) array pads each row
+    to a 512-byte lane group — 1 MB at N=2048, over the SMEM budget)."""
     p_i = pl.program_id(1)
     out, rn = _epilogue_math(x_ref[0], scale_ref[0], embed_dtype,
                              out_dtype, quant_bound)
@@ -76,8 +75,8 @@ def _kern_wide(x_ref, scale_ref, out_ref, rn_ref, *, embed_dtype,
 
     @pl.when(p_i == 0)
     def _():
-        rn_ref[n_i, 0] = jnp.zeros((), jnp.float32)
-    rn_ref[n_i, 0] += rn
+        rn_ref[...] = jnp.zeros_like(rn_ref)
+    rn_ref[...] += rn
 
 
 def _kern_halves(xa_ref, xb_ref, scale_ref, out_ref, rn_ref, *,
@@ -85,7 +84,6 @@ def _kern_halves(xa_ref, xb_ref, scale_ref, out_ref, rn_ref, *,
     """C == 64 taps, packed to 128 lanes by the halves permutation: the
     two contiguous position halves of the tap arrive as two input refs
     into the SAME array and leave lane-concatenated."""
-    n_i = pl.program_id(0)
     p_i = pl.program_id(1)
     sc = scale_ref[0, :64]  # both halves carry the same 64-channel scale
     out_a, rn_a = _epilogue_math(xa_ref[0], sc, embed_dtype, out_dtype,
@@ -96,8 +94,8 @@ def _kern_halves(xa_ref, xb_ref, scale_ref, out_ref, rn_ref, *,
 
     @pl.when(p_i == 0)
     def _():
-        rn_ref[n_i, 0] = jnp.zeros((), jnp.float32)
-    rn_ref[n_i, 0] += rn_a + rn_b
+        rn_ref[...] = jnp.zeros_like(rn_ref)
+    rn_ref[...] += rn_a + rn_b
 
 
 def tap_epilogue(fl: Array, scale: np.ndarray, *, embed_dtype, out_dtype,
@@ -153,17 +151,20 @@ def tap_epilogue(fl: Array, scale: np.ndarray, *, embed_dtype, out_dtype,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bp, cols), lambda i, j: (i, j, 0)),
-            # per-image scalars: the whole (N, 1) array lives unblocked
-            # in SMEM (a (1, 1) block would break the lane-tiling rule)
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # per-image scalar accumulator, broadcast over one (8, 128)
+            # VMEM tile that stays resident across the inner P grid dim
+            # (an SMEM (N, 1) array pads rows to 512-byte lane groups —
+            # 1 MB at N=2048, over the SMEM budget; blocks narrower than
+            # a full (8, 128) tile are rejected by the Mosaic lowering)
+            pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, p_out, cols), res_dtype),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(*args, jnp.asarray(sc))
-    return out, rn[:, 0]
+    return out, rn[:, 0, 0]
 
 
 def _env_set(name: str) -> bool:
