@@ -322,6 +322,18 @@ def main() -> None:
                             two_pass=args.two_pass,
                             two_pass_k=args.two_pass_k,
                             store=args.store, cache_gb=args.cache_gb)
+        elif "RESOURCE_EXHAUSTED" in str(e):
+            # an OOM that escaped the streamed search's halving resume
+            # means this process's runtime may be stuck in a sticky error
+            # state — hand the parent a distinct exit code so it retries
+            # in a FRESH process with half the query cache
+            import os
+            print(json.dumps({
+                "metric": "fbb LPIPS kNN query-pairs/sec (device OOM)",
+                "value": 0, "unit": "query-pairs/sec", "vs_baseline": 0,
+                "error": f"unrecovered RESOURCE_EXHAUSTED at "
+                         f"cache_gb={args.cache_gb}"}), flush=True)
+            os._exit(4)
         else:
             raise
 
@@ -354,12 +366,34 @@ if __name__ == "__main__":
     # error-stamped JSON line; a successful one prints the real record
     # LAST, which is what artifact parsers read.
     env = dict(os.environ, GANLEAKS_BENCH_CHILD="1")
+
+    def _halve_cache(argv: list) -> list:
+        """Return argv with --cache_gb halved (floor 1), for OOM retries."""
+        argv = list(argv)
+        for i, a in enumerate(argv):
+            if a == "--cache_gb" and i + 1 < len(argv):
+                argv[i + 1] = str(max(1.0, float(argv[i + 1]) / 2))
+                return argv
+            if a.startswith("--cache_gb="):
+                v = max(1.0, float(a.split("=", 1)[1]) / 2)
+                argv[i] = f"--cache_gb={v}"
+                return argv
+        return argv + ["--cache_gb", "4.0"]  # half the 8 GB default
+
+    argv = list(sys.argv)
     rc = 1
     for attempt in range(3):
-        rc = subprocess.call([sys.executable] + sys.argv, env=env)
-        if rc != 3:  # 0 = done; anything but the watchdog code = real bug
-            break
-        print(f"# bench attempt {attempt + 1} hit an unresponsive device; "
-              "retrying in a fresh process", file=sys.stderr, flush=True)
-        time.sleep(90)
+        rc = subprocess.call([sys.executable] + argv, env=env)
+        if rc == 3:  # watchdog: device unresponsive, same config retries
+            print(f"# bench attempt {attempt + 1} hit an unresponsive "
+                  "device; retrying in a fresh process",
+                  file=sys.stderr, flush=True)
+            time.sleep(90)
+        elif rc == 4:  # unrecovered OOM: fresh process, half the cache
+            argv = _halve_cache(argv)
+            print(f"# bench attempt {attempt + 1} died of an unrecovered "
+                  f"device OOM; retrying in a fresh process with a "
+                  f"smaller query cache", file=sys.stderr, flush=True)
+        else:
+            break  # 0 = done; anything else = real bug
     sys.exit(rc)

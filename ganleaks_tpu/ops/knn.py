@@ -23,11 +23,19 @@ strict parity against reference outputs is wanted.
 
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Streamed-search backpressure: the host may run at most this many
+# featurize blocks ahead of the device (see _stream_search's docstring).
+# 2 bounds pinned in-flight HBM to ~2 GB at north-star query blocks while
+# keeping the device pipeline full (2 blocks ≈ 100-2000 ms of queued
+# device work vs a ~40 ms tunnel RTT).
+_SYNC_WINDOW = 2
 
 Array = jax.Array
 
@@ -268,6 +276,34 @@ def _is_oom(e: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in str(e)  # jaxlib types vary per backend
 
 
+def _free_fence() -> None:
+    """Drain the device queue so buffers freed by dropped references (and
+    by failed in-flight computations) are actually released before a
+    retry's large allocation. TPU executes enqueued programs in order, so
+    one trivial computation completing implies everything before it did."""
+    try:
+        jax.block_until_ready(jnp.zeros((), jnp.float32) + 1)
+    except Exception as e:
+        # a fence that cannot run a scalar add means the runtime is in a
+        # sticky error state (every later dispatch will fail too) — say
+        # so, since the retry's "OOM" would otherwise be misread as a
+        # genuine allocation failure
+        print(f"[knn] free-fence itself failed ({type(e).__name__}): "
+              f"runtime is likely in a sticky error state; retries may "
+              f"be futile in this process")
+
+
+def _hbm_live() -> str:
+    """Live-HBM snapshot for OOM-resume diagnostics (best effort: CPU
+    devices and some PJRT plugins expose no memory_stats)."""
+    try:
+        s = jax.devices()[0].memory_stats()
+        return (f"hbm {s['bytes_in_use'] / 2**30:.2f}"
+                f"/{s['bytes_limit'] / 2**30:.2f} GiB in use")
+    except Exception:
+        return "hbm stats unavailable"
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _update_rows(buf: Array, part: Array, offset) -> Array:
     """In-place (donated) row-range write into a preallocated cache."""
@@ -304,7 +340,17 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
     ``q_block`` to a size that does not divide the remaining span, an
     uncapped padded-block write would run past the buffer and
     ``dynamic_update_slice`` would clamp the start index — silently
-    overwriting previously featurized rows."""
+    overwriting previously featurized rows.
+
+    Both loops apply WINDOWED BACKPRESSURE: each iteration blocks on the
+    featurize result from ``_SYNC_WINDOW`` blocks ago. Python
+    dispatch outruns the device by the whole sweep otherwise, and the
+    unbounded in-flight queue pins every pending block's outputs in HBM
+    at once — observed at the 10 GB-cache north star as an OOM at row
+    98304/100000 (the headroom filled with in-flight featurize outputs),
+    after which retries kept failing against the still-undrained queue.
+    Blocking on an old result costs one tunnel RTT per window and never
+    stalls a healthy device (the work is long done)."""
     n_q, n_s = queries.shape[0], syn.shape[0]
     row_bytes = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
                                 jnp.dtype(cdtype).itemsize)
@@ -341,19 +387,43 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 raise
             chunk_rows = max(q_block,
                              (chunk_rows // 2) // q_block * q_block)
+            # drop device references a failed prior attempt left in this
+            # frame's locals — when the OOM surfaced at block_until_ready
+            # rather than inside the comprehension, ``bufs``/``rq`` are
+            # BOUND to the failed multi-GB buffers, and the last
+            # featurized query block (``parts``) alone is ~1 GB at
+            # north-star shapes — then fence so in-flight work, whose
+            # buffers pin HBM until execution drains, completes before
+            # the retry allocation (TPU executes in order)
+            bufs = rq = None  # noqa: F841
+            parts = rq_part = s_parts = rs_blk = None  # noqa: F841
+            _free_fence()
             print(f"[knn] query cache allocation OOM; "
-                  f"chunk_rows={chunk_rows} (more synthetic sweeps)")
+                  f"chunk_rows={chunk_rows} (more synthetic sweeps; "
+                  f"{_hbm_live()})")
             continue
         qs = qs0
+        inflight: deque = deque()  # backpressure window (see docstring)
         while qs < end:
             try:
                 parts, rq_part, _ = block_norms(queries, qs, q_block)
+                # bound the in-flight queue: block on the featurize from
+                # _SYNC_WINDOW blocks ago (in-order execution ⇒ all its
+                # predecessors, including their multi-GB parts outputs,
+                # have drained). Inside the try: a deferred async OOM
+                # surfaces HERE, where the resume logic lives.
+                inflight.append(rq_part)
+                if len(inflight) > _SYNC_WINDOW:
+                    jax.block_until_ready(inflight.popleft())
             except Exception as e:
                 if not _is_oom(e) or q_block <= 1:
                     raise
                 q_block = max(1, q_block // 2)
+                inflight.clear()  # may hold error buffers from the fail
+                parts = rq_part = None  # noqa: F841
+                _free_fence()
                 print(f"[knn] query featurize OOM; q_block={q_block} "
-                      f"(resuming at row {qs})")
+                      f"(resuming at row {qs}; {_hbm_live()})")
                 continue
             cap = padded - (qs - qs0)
             if parts[0].shape[0] > cap:
@@ -366,18 +436,31 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
         state = init_state(padded)
         ss = 0
         restart_chunk = False
+        inflight_s: deque = deque()
         while ss < n_s:
             try:
                 s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
                 new_state = fold(state, bufs, rq, s_parts, rs_blk, ss,
                                  n_valid)
+                # backpressure (see docstring) — also surfaces deferred
+                # async failures inside this try, on the resume path
+                inflight_s.append(rs_blk)
+                if len(inflight_s) > _SYNC_WINDOW:
+                    jax.block_until_ready(inflight_s.popleft())
             except Exception as e:
                 if not _is_oom(e):
                     raise
                 if s_block > 1:
                     s_block = max(1, s_block // 2)
+                    # fence BEFORE retrying: the failed attempt's in-flight
+                    # buffers pin HBM until the queue drains, so an
+                    # unfenced retry can OOM spuriously and cascade the
+                    # halving all the way to s_block=1
+                    inflight_s.clear()
+                    s_parts = rs_blk = None  # noqa: F841
+                    _free_fence()
                     print(f"[knn] synthetic stream OOM; s_block={s_block} "
-                          f"(resuming at row {ss})")
+                          f"(resuming at row {ss}; {_hbm_live()})")
                     continue
                 # s_block exhausted: the pressure is the RESIDENT side
                 # (query cache + fold state), not the streamed block —
@@ -395,13 +478,15 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 s_block = s_block0
                 print(f"[knn] synthetic stream OOM persists at s_block=1; "
                       f"halving query cache to chunk_rows={chunk_rows} "
-                      f"and restarting the chunk")
+                      f"and restarting the chunk ({_hbm_live()})")
                 restart_chunk = True
                 break
             state = new_state
             ss += n_valid
         if restart_chunk:
             del bufs, rq, state
+            parts = rq_part = s_parts = rs_blk = None  # noqa: F841
+            _free_fence()
             continue
         del bufs, rq
         outs.append(take(state, n_rows))

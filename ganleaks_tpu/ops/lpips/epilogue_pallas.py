@@ -19,10 +19,22 @@ tap lane packing is the same halves permutation
 (``ops/lpips/lpips._pack_lanes``) — so the XLA path remains a drop-in
 fallback mid-search (``ops/knn._fused_parts_norms``).
 
-The kernel is gated to TPU (``GANLEAKS_NO_PALLAS_EPILOGUE=1`` disables;
-``GANLEAKS_PALLAS_EPILOGUE_INTERPRET=1`` forces the interpret-mode path
-for CPU tests). No reference counterpart: the reference computes LPIPS
-per image pair with no featurize stage at all (``fbb.py:73-88``).
+STATUS (2026-08-18 chip measurement): value-correct at every block size
+(validated N=256 and N=2048, `tools/validate_epilogue.py`) but SLOWER
+than the XLA composition it replaces — 25.2 ms vs 10.5-14.7 ms summed
+over the 64x64 taps at N=2048, ~10% slower end-to-end on bench. The one-
+read-one-write bandwidth argument loses to two VPU realities: the C=64
+tap computes on half-empty (64 of 128) lanes with a cross-lane channel
+reduction, and the small taps pay ~2 us per grid step at one image per
+step. The kernel is therefore OPT-IN (``GANLEAKS_PALLAS_EPILOGUE=1`` on
+TPU; ``GANLEAKS_PALLAS_EPILOGUE_INTERPRET=1`` forces the interpret-mode
+path for CPU tests; ``GANLEAKS_NO_PALLAS_EPILOGUE=1`` kills it outright)
+and the XLA epilogue is the production default. Kept because the
+dispatch/fallback machinery it exercises (``ops/knn._fast_slow_dispatch``
++ driver retry) is the template for future kernels, and the validation
+tooling pins its correctness. No reference counterpart: the reference
+computes LPIPS per image pair with no featurize stage at all
+(``fbb.py:73-88``).
 """
 
 from __future__ import annotations
@@ -175,9 +187,19 @@ def _env_set(name: str) -> bool:
 
 def _enabled() -> str | None:
     """'tpu' for the compiled kernel, 'interpret' for the CPU test mode,
-    None when the XLA path should be used."""
+    None when the XLA path should be used.
+
+    OPT-IN (``GANLEAKS_PALLAS_EPILOGUE=1``) since the 2026-08-18 chip
+    measurement: the kernel is value-correct at every block size but
+    SLOWER than the XLA composition it replaces (25.2 ms vs 10.5-14.7 ms
+    summed over the 64x64 taps at N=2048 — the C=64 tap computes on
+    half-empty lanes and the small taps pay per-grid-step overhead), and
+    costs ~10% end-to-end on bench (43.0M vs 47.6M pairs/s back-to-back).
+    ``GANLEAKS_NO_PALLAS_EPILOGUE=1`` still wins over everything."""
     if _env_set("GANLEAKS_NO_PALLAS_EPILOGUE"):
         return None
     if _env_set("GANLEAKS_PALLAS_EPILOGUE_INTERPRET"):
         return "interpret"
-    return "tpu" if jax.default_backend() == "tpu" else None
+    if _env_set("GANLEAKS_PALLAS_EPILOGUE"):
+        return "tpu" if jax.default_backend() == "tpu" else None
+    return None

@@ -218,15 +218,15 @@ def lpips_embed_parts(params: dict, x: Array, weight: float = 1.0,
 def _pack_mode() -> str:
     """Lane-packing permutation for narrow taps, fixed per process:
 
-    * 'halves' whenever the Pallas epilogue kernel is enabled — row p
-      carries positions p and HW/2 + p; contiguous half-slices are
-      expressible inside the kernel (a sublane-strided pairs gather is
-      not), and the XLA path MUST match it so a mid-search kernel
-      fallback never mixes packings within one cache/stream.
-    * 'pairs' otherwise — the plain (HW, C) -> (HW/2, 2C) reshape, which
-      XLA relayouts ~14 ms/2048-block faster than the halves concat
-      (measured v5e); used on CPU (golden suites) and when the kernel is
-      killed via env.
+    * 'halves' whenever the Pallas epilogue kernel is enabled (opt-in,
+      ``GANLEAKS_PALLAS_EPILOGUE=1``) — row p carries positions p and
+      HW/2 + p; contiguous half-slices are expressible inside the kernel
+      (a sublane-strided pairs gather is not), and the XLA path MUST
+      match it so a mid-search kernel fallback never mixes packings
+      within one cache/stream.
+    * 'pairs' otherwise (the production default) — the plain
+      (HW, C) -> (HW/2, 2C) reshape, which XLA relayouts
+      ~14 ms/2048-block faster than the halves concat (measured v5e).
 
     Per-part squared distances are invariant under any fixed element
     permutation shared by both sides of the fold, so the two modes are
@@ -309,9 +309,11 @@ def lpips_fast_parts_norms(params: dict, weight: float, dtype,
                            compute_dtype, cdtype, bounds=None):
     """``blk -> ([tap parts], f32 row norms)`` with the single-pass Pallas
     tap epilogue (``ops/lpips/epilogue_pallas``) replacing the XLA
-    normalize/scale/cast/pack/norm chain — ~2/3 of the post-tower
-    featurize cost at 64x64 bf16 on v5e. Returns None when the kernel is
-    gated off (non-TPU backend, ``GANLEAKS_NO_PALLAS_EPILOGUE``); taps
+    normalize/scale/cast/pack/norm chain. OPT-IN via
+    ``GANLEAKS_PALLAS_EPILOGUE=1``: the chip measurement showed the
+    kernel value-correct but ~10% slower end-to-end than the XLA path
+    (see the kernel module docstring). Returns None when the kernel is
+    gated off (the default; non-TPU backend; ``GANLEAKS_NO_PALLAS_EPILOGUE``); taps
     whose shape falls outside the kernel envelope use the XLA math inline
     (same values, same packing). ``bounds`` switches the outputs to int8
     quantization exactly as ``ops/knn._fused_parts_norms_q``."""
