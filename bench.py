@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -276,7 +277,14 @@ def main() -> None:
     ap.add_argument("--cache_gb", type=float, default=8.0,
                     help="query-embedding cache HBM budget; sets the "
                          "number of synthetic featurize sweeps")
+    ap.add_argument("--no_auto_plan", action="store_true",
+                    help="disable the static HBM stream planner "
+                         "(ops/knn._auto_stream_plan) so --cache_gb/"
+                         "--s_block are used EXACTLY as given — for "
+                         "fixed-config experiments")
     args = ap.parse_args()
+    if args.no_auto_plan:
+        os.environ["GANLEAKS_NO_AUTO_PLAN"] = "1"
 
     platform = jax.devices()[0].platform
     if args.metric == "gen":
@@ -327,7 +335,6 @@ def main() -> None:
             # means this process's runtime may be stuck in a sticky error
             # state — hand the parent a distinct exit code so it retries
             # in a FRESH process with half the query cache
-            import os
             print(json.dumps({
                 "metric": "fbb LPIPS kNN query-pairs/sec (device OOM)",
                 "value": 0, "unit": "query-pairs/sec", "vs_baseline": 0,

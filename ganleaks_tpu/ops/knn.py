@@ -23,6 +23,7 @@ strict parity against reference outputs is wanted.
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from functools import partial
 
@@ -276,21 +277,26 @@ def _is_oom(e: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in str(e)  # jaxlib types vary per backend
 
 
-def _free_fence() -> None:
+def _free_fence() -> bool:
     """Drain the device queue so buffers freed by dropped references (and
     by failed in-flight computations) are actually released before a
     retry's large allocation. TPU executes enqueued programs in order, so
-    one trivial computation completing implies everything before it did."""
+    one trivial computation completing implies everything before it did.
+
+    Returns False when the fence itself fails: a runtime that cannot run
+    a scalar add is in a STICKY error state (observed on the tunneled
+    v5e after a deferred async OOM: every later dispatch fails too, so
+    the halving walk cascades s_block 1024->1 and then dies anyway,
+    minutes later). Callers must treat False as "in-process resume is
+    futile" and re-raise so a fresh process can retry."""
     try:
         jax.block_until_ready(jnp.zeros((), jnp.float32) + 1)
+        return True
     except Exception as e:
-        # a fence that cannot run a scalar add means the runtime is in a
-        # sticky error state (every later dispatch will fail too) — say
-        # so, since the retry's "OOM" would otherwise be misread as a
-        # genuine allocation failure
         print(f"[knn] free-fence itself failed ({type(e).__name__}): "
-              f"runtime is likely in a sticky error state; retries may "
-              f"be futile in this process")
+              f"runtime is in a sticky error state; abandoning in-process "
+              f"resume (a fresh process must retry)")
+        return False
 
 
 def _hbm_live() -> str:
@@ -302,6 +308,125 @@ def _hbm_live() -> str:
                 f"/{s['bytes_limit'] / 2**30:.2f} GiB in use")
     except Exception:
         return "hbm stats unavailable"
+
+
+# Per-chip HBM by device_kind substring, first match wins (v5e/v6e are
+# reported as 'TPU v5 lite'/'TPU v6 lite' by the PJRT plugin). Used only
+# when live memory_stats are unavailable (the tunneled v5e plugin
+# returns None).
+_HBM_GIB_BY_KIND = (
+    ("v5 lite", 16), ("v5e", 16),
+    ("v6 lite", 32), ("v6e", 32),
+    ("v5p", 95), ("v5", 95),
+    ("v4", 32), ("v3", 32), ("v2", 8),
+)
+
+
+def _device_hbm_bytes() -> int | None:
+    """Per-device HBM capacity in bytes, or None when unknown (CPU hosts,
+    unrecognized TPU kinds). None disables the static stream planner —
+    the OOM-halving resume remains the only sizing mechanism there."""
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return None
+    if d.platform != "tpu":
+        # CPU/GPU hosts: stay inert (CPU tests pin exact chunk/block
+        # schedules; GPUs are out of scope)
+        return None
+    try:
+        s = d.memory_stats()
+        if s and "bytes_limit" in s:
+            return int(s["bytes_limit"])
+    except Exception:
+        pass
+    kind = getattr(d, "device_kind", "").lower()
+    for tag, gib in _HBM_GIB_BY_KIND:
+        if tag in kind:
+            return gib << 30
+    return None
+
+
+def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
+                      q_block: int, s_block: int, cache_bytes: int
+                      ) -> tuple[int, int]:
+    """Projection-driven (cache_bytes, s_block) adjustment for the
+    streamed search. Uses the same static accounting as
+    ``tools/hbm_projection.py`` (which imports this planner's arithmetic
+    constants by behavior): resident images + query cache + 2 streamed
+    synthetic blocks + a 2x tower-activation bound must fit 92% of HBM.
+    The model is chip-calibrated: at the 20000x100000 uint8 north star it
+    accepts the measured-fit one-sweep config (10 GiB cache, s_block
+    1024 -> 204M pairs/s) and rejects the measured-OOM one (s_block 2048).
+
+    Policy, in order:
+      1. If caching ALL query rows (one synthetic featurize sweep — the
+         cheapest possible schedule) fits at s_block, s_block/2 or
+         s_block/4 (floor 512), adopt it: the synthetic tower sweep is
+         the dominant cost and each extra chunk pays a full extra sweep.
+      2. Otherwise cap the requested cache so the plan fits the budget
+         (an over-ambitious request would OOM at allocation; on the
+         tunneled backend a device OOM can leave the runtime in a STICKY
+         error state where the in-process resume is futile).
+
+    Inert when HBM capacity is unknown (CPU test hosts) or when
+    ``GANLEAKS_NO_AUTO_PLAN=1`` (fixed-config experiments). The
+    tower-activation bound assumes a bf16 tower for image inputs — the
+    throughput default; f32-parity runs may under-budget and lean on the
+    OOM resume. Mesh paths size per shard in ``parallel/knn_shard`` and
+    do not use this planner."""
+    if os.environ.get("GANLEAKS_NO_AUTO_PLAN", "").strip() not in ("", "0"):
+        return cache_bytes, s_block
+    hbm = _device_hbm_bytes()
+    if hbm is None:
+        return cache_bytes, s_block
+    if queries.ndim == 4:  # images: widest VGG activation, bf16, x2 overlap
+        act_per_row = queries.shape[1] * queries.shape[2] * 64 * 2 * 2
+    else:  # tabular: embed output rows, f32, x2 overlap
+        act_per_row = int(np.prod(queries.shape[1:])) * 4 * 2
+
+    def overhead(sb: int) -> int:
+        return 2 * sb * row_bytes + max(q_block, sb) * act_per_row
+
+    n_q = queries.shape[0]
+    padded = n_q + (-n_q) % q_block
+    fold_bytes = padded * 8  # f32 best-distance + i32 argmin
+    budget = int(hbm * 0.92) - queries.nbytes - syn.nbytes - fold_bytes
+    need_one = padded * row_bytes  # cache holding EVERY query row
+    sb = s_block
+    while True:
+        if need_one + overhead(sb) <= budget:
+            if need_one > cache_bytes or sb != s_block:
+                print(f"[knn] auto plan: one-sweep schedule fits — query "
+                      f"cache {need_one / 2**30:.2f} GiB "
+                      f"(requested {cache_bytes / 2**30:.2f}), "
+                      f"s_block {s_block} -> {sb} "
+                      f"(GANLEAKS_NO_AUTO_PLAN=1 for fixed configs)")
+            # the cache allocation is bounded by the actual padded row
+            # count, so raising the budget to need_one allocates exactly
+            # the one-sweep cache and nothing more
+            return max(cache_bytes, need_one), sb
+        if sb // 2 < 512:
+            break
+        sb //= 2
+    # one sweep unreachable even at s_block=512: fit the REQUESTED cache,
+    # shrinking s_block first (an extra chunk costs a whole synthetic
+    # tower sweep; a smaller stream block costs almost nothing)
+    sb = s_block
+    while cache_bytes > budget - overhead(sb) and sb // 2 >= 512:
+        sb //= 2
+    cap = budget - overhead(sb)
+    if cache_bytes > cap:
+        cap = max(q_block * row_bytes, cap)
+        print(f"[knn] auto plan: requested cache "
+              f"{cache_bytes / 2**30:.2f} GiB cannot fit next to the "
+              f"stream; capping at {cap / 2**30:.2f} GiB, "
+              f"s_block {s_block} -> {sb} (more synthetic sweeps)")
+        return cap, sb
+    if sb != s_block:
+        print(f"[knn] auto plan: s_block {s_block} -> {sb} so the "
+              f"{cache_bytes / 2**30:.2f} GiB query cache fits")
+    return cache_bytes, sb
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -354,6 +479,12 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
     n_q, n_s = queries.shape[0], syn.shape[0]
     row_bytes = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
                                 jnp.dtype(cdtype).itemsize)
+    # static HBM plan (no-op when capacity is unknown or
+    # GANLEAKS_NO_AUTO_PLAN=1): upgrade to a one-sweep schedule when it
+    # fits, cap over-ambitious caches before they OOM at allocation
+    query_cache_bytes, s_block = _auto_stream_plan(
+        queries, syn, row_bytes, q_block=q_block, s_block=s_block,
+        cache_bytes=query_cache_bytes)
     # chunk_rows rounds DOWN to a q_block multiple: full-size featurize
     # blocks tile the chunk exactly, so padded tails only appear at n_q
     chunk_rows = max(q_block,
@@ -397,7 +528,8 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
             # the retry allocation (TPU executes in order)
             bufs = rq = None  # noqa: F841
             parts = rq_part = s_parts = rs_blk = None  # noqa: F841
-            _free_fence()
+            if not _free_fence():
+                raise
             print(f"[knn] query cache allocation OOM; "
                   f"chunk_rows={chunk_rows} (more synthetic sweeps; "
                   f"{_hbm_live()})")
@@ -421,7 +553,8 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 q_block = max(1, q_block // 2)
                 inflight.clear()  # may hold error buffers from the fail
                 parts = rq_part = None  # noqa: F841
-                _free_fence()
+                if not _free_fence():
+                    raise
                 print(f"[knn] query featurize OOM; q_block={q_block} "
                       f"(resuming at row {qs}; {_hbm_live()})")
                 continue
@@ -458,7 +591,8 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                     # halving all the way to s_block=1
                     inflight_s.clear()
                     s_parts = rs_blk = None  # noqa: F841
-                    _free_fence()
+                    if not _free_fence():
+                        raise
                     print(f"[knn] synthetic stream OOM; s_block={s_block} "
                           f"(resuming at row {ss}; {_hbm_live()})")
                     continue
@@ -480,13 +614,15 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                       f"halving query cache to chunk_rows={chunk_rows} "
                       f"and restarting the chunk ({_hbm_live()})")
                 restart_chunk = True
+                oom_err = e
                 break
             state = new_state
             ss += n_valid
         if restart_chunk:
             del bufs, rq, state
             parts = rq_part = s_parts = rs_blk = None  # noqa: F841
-            _free_fence()
+            if not _free_fence():
+                raise oom_err
             continue
         del bufs, rq
         outs.append(take(state, n_rows))

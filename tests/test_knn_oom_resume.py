@@ -273,3 +273,18 @@ def test_randomized_oom_schedules_match_clean(eager_knn):
                                       err_msg=f"fail_on={sorted(fail_on)}")
         np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6,
                                    err_msg=f"fail_on={sorted(fail_on)}")
+
+
+def test_sticky_runtime_aborts_resume_immediately(eager_knn, monkeypatch):
+    """When the free-fence itself cannot run (sticky runtime error state,
+    observed on the tunneled v5e after a deferred async OOM), the halving
+    walk is futile — the search must re-raise the original OOM at the
+    FIRST resume attempt instead of cascading s_block all the way to 1."""
+    monkeypatch.setattr(knn_mod, "_free_fence", lambda: False)
+    embed = InjectingEmbed(fail_on_calls=(2,))  # first synthetic block
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        knn_argmin_streamed(embed, jnp.asarray(tagged(4, 1000.0)),
+                            jnp.asarray(tagged(32, 0.0)), s_block=8,
+                            q_block=4)
+    # exactly one failed synthetic call: no post-fence-failure retries
+    assert embed.calls == 2

@@ -1,0 +1,102 @@
+"""The static HBM stream planner (``ops/knn._auto_stream_plan``).
+
+The expectations below are CHIP-CALIBRATED, not invented: on the 16 GiB
+v5e, the 20000x100000 uint8 north star measured one-sweep-fits at
+(cache 10 GiB, s_block 1024) -> 204.3M pairs/s, and OOM'd at
+(cache 10 GiB, s_block 2048). The planner's accounting must reproduce
+exactly that accept/reject boundary. (No reference counterpart: the
+reference requires the whole set to fit one GPU, fbb.py:133-145.)
+"""
+import numpy as np
+import pytest
+
+import ganleaks_tpu.ops.knn as knn_mod
+from ganleaks_tpu.ops.knn import _auto_stream_plan
+
+GIB = 1 << 30
+ROW = 512 * 1024  # taps-int8 lane-padded row bytes at 64x64 (measured)
+
+
+def north_star_arrays():
+    q = np.zeros((20000, 64, 64, 3), np.uint8)
+    s = np.zeros((100000, 64, 64, 3), np.uint8)
+    return q, s
+
+
+@pytest.fixture
+def v5e(monkeypatch):
+    monkeypatch.setattr(knn_mod, "_device_hbm_bytes", lambda: 16 * GIB)
+
+
+def test_north_star_upgrades_to_one_sweep(v5e):
+    """8 GiB requested (two sweeps) -> one-sweep cache at a shrunk
+    s_block, reproducing the measured 204M pairs/s configuration."""
+    q, s = north_star_arrays()
+    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                                  cache_bytes=8 * GIB)
+    assert cache >= 20480 * ROW, "cache holds every padded query row"
+    assert sb == 1024, "s_block shrunk so the one-sweep cache fits"
+
+
+def test_north_star_rejects_the_measured_oom_config(v5e):
+    """The one-sweep cache + s_block=2048 stream measured OOM on chip;
+    the planner must not pick that combination."""
+    q, s = north_star_arrays()
+    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                                  cache_bytes=10 * GIB)
+    assert not (cache >= 20480 * ROW and sb == 2048)
+
+
+def test_driver_default_syn_block_8192_reaches_one_sweep(v5e):
+    """AttackConfig's syn_block default is 8192; the halving walk must
+    reach the fitting 1024, not stop early and strand the cache."""
+    q, s = north_star_arrays()
+    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=8192,
+                                  cache_bytes=8 * GIB)
+    assert cache >= 20480 * ROW and sb == 1024
+
+
+def test_small_config_unchanged(v5e):
+    """The default bench shape (2000x20000) fits with headroom: the plan
+    must not perturb it (same cache budget, same s_block)."""
+    q = np.zeros((2000, 64, 64, 3), np.uint8)
+    s = np.zeros((20000, 64, 64, 3), np.uint8)
+    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                                  cache_bytes=8 * GIB)
+    assert (cache, sb) == (8 * GIB, 2048)
+
+
+def test_unknown_hbm_is_inert(monkeypatch):
+    monkeypatch.setattr(knn_mod, "_device_hbm_bytes", lambda: None)
+    q, s = north_star_arrays()
+    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                                  cache_bytes=8 * GIB)
+    assert (cache, sb) == (8 * GIB, 2048)
+
+
+def test_env_killswitch(v5e, monkeypatch):
+    monkeypatch.setenv("GANLEAKS_NO_AUTO_PLAN", "1")
+    q, s = north_star_arrays()
+    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                                  cache_bytes=8 * GIB)
+    assert (cache, sb) == (8 * GIB, 2048)
+
+
+def test_overambitious_cache_capped_before_allocation(v5e):
+    """A 14 GiB request on a 16 GiB chip can never fit next to the
+    stream: the plan caps it (the alloc-OOM resume would otherwise be
+    the first line of defense — and on the tunneled backend a device
+    OOM can leave the runtime sticky)."""
+    q, s = north_star_arrays()
+    # huge rows so one sweep is unreachable: 20480 rows x 4 MiB = 80 GiB
+    big_row = 4 * (1 << 20)
+    cache, sb = _auto_stream_plan(q, s, big_row, q_block=2048,
+                                  s_block=2048, cache_bytes=14 * GIB)
+    assert cache < 14 * GIB
+    assert cache >= 2048 * big_row, "floor: one q_block of rows"
+
+
+def test_cpu_backend_reports_unknown_hbm():
+    """On the CPU test host the real _device_hbm_bytes must be None —
+    the planner stays out of every CPU suite's exact block schedules."""
+    assert knn_mod._device_hbm_bytes() is None
