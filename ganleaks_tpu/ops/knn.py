@@ -348,7 +348,8 @@ def _device_hbm_bytes() -> int | None:
 
 
 def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
-                      q_block: int, s_block: int, cache_bytes: int
+                      q_block: int, s_block: int, cache_bytes: int,
+                      resident_bytes: int | None = None
                       ) -> tuple[int, int]:
     """Projection-driven (cache_bytes, s_block) adjustment for the
     streamed search. Uses the same static accounting as
@@ -373,8 +374,10 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     ``GANLEAKS_NO_AUTO_PLAN=1`` (fixed-config experiments). The
     tower-activation bound assumes a bf16 tower for image inputs — the
     throughput default; f32-parity runs may under-budget and lean on the
-    OOM resume. Mesh paths size per shard in ``parallel/knn_shard`` and
-    do not use this planner."""
+    OOM resume. ``resident_bytes`` overrides the default
+    ``queries.nbytes + syn.nbytes`` residency charge — the mesh driver
+    passes its PER-CHIP residency (one synthetic shard + one host-shipped
+    query block; the query cache it sizes here is replicated per chip)."""
     if os.environ.get("GANLEAKS_NO_AUTO_PLAN", "").strip() not in ("", "0"):
         return cache_bytes, s_block
     hbm = _device_hbm_bytes()
@@ -391,7 +394,9 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     n_q = queries.shape[0]
     padded = n_q + (-n_q) % q_block
     fold_bytes = padded * 8  # f32 best-distance + i32 argmin
-    budget = int(hbm * 0.92) - queries.nbytes - syn.nbytes - fold_bytes
+    if resident_bytes is None:
+        resident_bytes = queries.nbytes + syn.nbytes
+    budget = int(hbm * 0.92) - resident_bytes - fold_bytes
     need_one = padded * row_bytes  # cache holding EVERY query row
     sb = s_block
     while True:

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ganleaks_tpu.ops.knn import (
     disable_fast_epilogue,
+    _auto_stream_plan,
     _fold_block,
     _fold_block_parts,
     _fold_block_parts_q,
@@ -348,6 +349,15 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     q_block = max(n_dev, -(-min(q_block, max(n_q, 1)) // n_dev) * n_dev)
     row_bytes = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
                                 jnp.dtype(cdtype).itemsize)
+    # static per-chip HBM plan (inert on CPU meshes /
+    # GANLEAKS_NO_AUTO_PLAN=1): the query cache is REPLICATED per chip,
+    # so the one-sweep upgrade and the over-ask cap use each chip's
+    # residency — its synthetic shard plus one host-shipped query block
+    img_row = int(np.prod(queries.shape[1:])) * queries.dtype.itemsize
+    query_cache_bytes, s_block = _auto_stream_plan(
+        queries, syn, row_bytes, q_block=q_block, s_block=s_block,
+        cache_bytes=query_cache_bytes,
+        resident_bytes=syn_flat.nbytes // n_dev + q_block * img_row)
     chunk_rows = max(q_block,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)

@@ -100,3 +100,19 @@ def test_cpu_backend_reports_unknown_hbm():
     """On the CPU test host the real _device_hbm_bytes must be None —
     the planner stays out of every CPU suite's exact block schedules."""
     assert knn_mod._device_hbm_bytes() is None
+
+
+def test_resident_override_models_per_chip_budget(v5e):
+    """The mesh driver passes per-chip residency (one synthetic shard +
+    one query block) instead of the full sets: with the synthetic set
+    sharded 8 ways the one-sweep replicated cache must fit chips where
+    the single-chip accounting would refuse it."""
+    q, s = north_star_arrays()
+    full = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                             cache_bytes=8 * GIB,
+                             resident_bytes=q.nbytes + 4 * s.nbytes)
+    shard = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                              cache_bytes=8 * GIB,
+                              resident_bytes=s.nbytes // 8 + 2048 * 12288)
+    assert full[0] < 20480 * ROW, "4x-synthetic residency: no one-sweep"
+    assert shard[0] >= 20480 * ROW, "per-shard residency: one sweep fits"
