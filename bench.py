@@ -10,8 +10,12 @@ distance matmul + argmin), on the configured chip — the core computation of
 is ~15 query-pairs/sec; see BASELINE.md).
 
 Usage:
-    python bench.py            # full bench (N_q=2000 x N_syn=20000, 64x64)
+    python bench.py            # full bench = the BASELINE north star
+                               # (N_q=20000 x N_syn=100000 @64x64, uint8
+                               # real-data residency, 10 GB query cache —
+                               # the planner picks the one-sweep schedule)
     python bench.py --quick    # tiny smoke sizes
+    python bench.py --n_q 2000 --n_syn 20000   # the pre-r3 default shape
     python bench.py --engine gemm|pallas
 """
 
@@ -194,6 +198,33 @@ def run_gen_bench(num: int = 4096, batch: int = 512) -> dict:
     return {"images_per_sec": num / dt, "seconds": dt, "num": num}
 
 
+def resolve_defaults(*, quick: bool, n_q, n_syn, q_block, s_block,
+                     cache_gb, store, two_pass: bool, dtype: str):
+    """Resolve the CLI's None defaults into a concrete run config.
+
+    The FULL default (no --quick, no explicit --n_q/--n_syn) is the
+    BASELINE north star — 100k generated x 20k queries in the attack
+    driver's real-data configuration: uint8 device residency + a 10 GB
+    query-cache budget that the static planner (`ops/knn._auto_stream_plan`)
+    turns into a one-sweep schedule (s_block 1024). Measured 204.6M
+    pairs/s = 9.78 s attack, ~57 s bench wall incl. warmup with a warm
+    compile cache (2026-08-18). Explicit sizes keep the pre-r3 behavior
+    (store follows --dtype, 8 GB cache). Blocks default to the pallas
+    kernel's (2048, 2048) tiles so its row padding is a no-op.
+    Pure: unit-tested on CPU (tests/test_cli_config.py)."""
+    north_star = not quick and n_q is None and n_syn is None
+    dq, ds, dqb, dsb = ((64, 512, 64, 256) if quick
+                        else (20000, 100000, 2048, 2048))
+    n_q, n_syn = n_q or dq, n_syn or ds
+    q_block, s_block = q_block or dqb, s_block or dsb
+    if cache_gb is None:
+        cache_gb = 10.0 if north_star else 8.0
+    if north_star and store is None and not two_pass \
+            and jnp.dtype(dtype) == jnp.bfloat16:
+        store = "uint8"
+    return n_q, n_syn, q_block, s_block, cache_gb, store
+
+
 def _device_watchdog(timeout_s: float = 180.0) -> None:
     """Fail loudly if the device never answers, instead of hanging the
     caller forever: the tunneled TPU backend has been observed to wedge
@@ -243,7 +274,8 @@ def main() -> None:
     # defaults = the fastest measured mode on v5e (docs/PERF.md):
     # bf16 LPIPS tower + tap-structured embeddings quantized to int8
     # streams (static rigorous scales, exact f32 norms) — 52.7M pairs/s
-    # at 2000x20000, 171.5M at the 20000x100000 north star
+    # at 2000x20000, 204.6M at the 20000x100000 north star (uint8
+    # store + one-sweep 10 GB cache, the full-bench default)
     ap.add_argument("--engine", default="taps-int8",
                     choices=["gemm", "pallas", "exact", "taps",
                              "taps-int8"])
@@ -269,14 +301,18 @@ def main() -> None:
                     help="override the streamed engines' synthetic block")
     ap.add_argument("--store", default=None,
                     choices=["uint8", "bfloat16", "float32"],
-                    help="device-resident image dtype; default follows "
-                         "--dtype (bfloat16 cast for the bf16 mode — "
-                         "the mode of every recorded BENCH number — "
-                         "f32 for parity/two_pass runs); uint8 = the "
-                         "attack driver's real-data storage")
-    ap.add_argument("--cache_gb", type=float, default=8.0,
+                    help="device-resident image dtype; the full-bench "
+                         "north-star default is uint8 (the attack "
+                         "driver's real-data storage — what lets the "
+                         "one-sweep cache fit); with explicit --n_q/"
+                         "--n_syn the default follows --dtype (bfloat16 "
+                         "cast for the bf16 mode, f32 for parity/"
+                         "two_pass runs)")
+    ap.add_argument("--cache_gb", type=float, default=None,
                     help="query-embedding cache HBM budget; sets the "
-                         "number of synthetic featurize sweeps")
+                         "number of synthetic featurize sweeps "
+                         "(default: 10 for the north-star default "
+                         "shapes — one sweep — else 8)")
     ap.add_argument("--no_auto_plan", action="store_true",
                     help="disable the static HBM stream planner "
                          "(ops/knn._auto_stream_plan) so --cache_gb/"
@@ -298,16 +334,12 @@ def main() -> None:
         }))
         return
 
-    if args.quick:
-        n_q, n_syn, q_block, s_block = 64, 512, 64, 256
-    else:
-        # blocks aligned to the pallas kernel's (2048, 2048) tiles so the
-        # kernel's row padding is a no-op (no block copies)
-        n_q, n_syn, q_block, s_block = 2000, 20000, 2048, 2048
-    n_q = args.n_q or n_q
-    n_syn = args.n_syn or n_syn
-    q_block = args.q_block or q_block
-    s_block = args.s_block or s_block
+    (n_q, n_syn, q_block, s_block,
+     args.cache_gb, args.store) = resolve_defaults(
+        quick=args.quick, n_q=args.n_q, n_syn=args.n_syn,
+        q_block=args.q_block, s_block=args.s_block,
+        cache_gb=args.cache_gb, store=args.store,
+        two_pass=args.two_pass, dtype=args.dtype)
 
     engine = args.engine
     fallback_err = None
@@ -385,7 +417,7 @@ if __name__ == "__main__":
                 v = max(1.0, float(a.split("=", 1)[1]) / 2)
                 argv[i] = f"--cache_gb={v}"
                 return argv
-        return argv + ["--cache_gb", "4.0"]  # half the 8 GB default
+        return argv + ["--cache_gb", "5.0"]  # half the 10 GB default
 
     argv = list(sys.argv)
     rc = 1

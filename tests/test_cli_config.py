@@ -65,3 +65,45 @@ def test_every_cli_imports_and_parses_help():
         with pytest.raises(SystemExit) as exc:
             main(["--help"])
         assert exc.value.code == 0
+
+
+def test_bench_default_is_the_north_star():
+    """The driver records BENCH artifacts from a plain `python bench.py`;
+    its full default must stay pinned to the BASELINE north-star
+    configuration (100k x 20k, uint8 real-data residency, one-sweep
+    10 GB cache budget) and explicit sizes must keep the pre-r3
+    behavior (store follows --dtype, 8 GB cache)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    full = bench.resolve_defaults(
+        quick=False, n_q=None, n_syn=None, q_block=None, s_block=None,
+        cache_gb=None, store=None, two_pass=False, dtype="bfloat16")
+    assert full == (20000, 100000, 2048, 2048, 10.0, "uint8")
+
+    # explicit sizes: pre-r3 defaults (dtype-following store, 8 GB cache)
+    n_q, n_syn, _, _, cache_gb, store = bench.resolve_defaults(
+        quick=False, n_q=2000, n_syn=20000, q_block=None, s_block=None,
+        cache_gb=None, store=None, two_pass=False, dtype="bfloat16")
+    assert (n_q, n_syn, cache_gb, store) == (2000, 20000, 8.0, None)
+
+    # two_pass / f32 parity runs never silently pick uint8 pixels
+    *_, store = bench.resolve_defaults(
+        quick=False, n_q=None, n_syn=None, q_block=None, s_block=None,
+        cache_gb=None, store=None, two_pass=True, dtype="bfloat16")
+    assert store is None
+    *_, store = bench.resolve_defaults(
+        quick=False, n_q=None, n_syn=None, q_block=None, s_block=None,
+        cache_gb=None, store=None, two_pass=False, dtype="float32")
+    assert store is None
+
+    # user overrides pass through untouched
+    out = bench.resolve_defaults(
+        quick=False, n_q=None, n_syn=None, q_block=1024, s_block=512,
+        cache_gb=4.0, store="float32", two_pass=False, dtype="bfloat16")
+    assert out == (20000, 100000, 1024, 512, 4.0, "float32")
