@@ -213,8 +213,15 @@ def resolve_defaults(*, quick: bool, n_q, n_syn, q_block, s_block,
     kernel's (2048, 2048) tiles so its row padding is a no-op.
     Pure: unit-tested on CPU (tests/test_cli_config.py)."""
     north_star = not quick and n_q is None and n_syn is None
-    dq, ds, dqb, dsb = ((64, 512, 64, 256) if quick
-                        else (20000, 100000, 2048, 2048))
+    if quick:
+        dq, ds, dqb, dsb = 64, 512, 64, 256
+    elif north_star:
+        dq, ds, dqb, dsb = 20000, 100000, 2048, 2048
+    else:
+        # one size given explicitly: fill the OTHER with the pre-r3
+        # default shape (2000x20000), never the 5-10x bigger north-star
+        # sizes — `--n_q 2000` must keep meaning 2000x20000
+        dq, ds, dqb, dsb = 2000, 20000, 2048, 2048
     n_q, n_syn = n_q or dq, n_syn or ds
     q_block, s_block = q_block or dqb, s_block or dsb
     if cache_gb is None:
@@ -407,32 +414,51 @@ if __name__ == "__main__":
     env = dict(os.environ, GANLEAKS_BENCH_CHILD="1")
 
     def _halve_cache(argv: list) -> list:
-        """Return argv with --cache_gb halved (floor 1), for OOM retries."""
+        """Return argv with --cache_gb halved (floor 1) and the static
+        planner disabled, for OOM retries. Disabling the planner matters:
+        `ops/knn._auto_stream_plan` upgrades any smaller request back to
+        the one-sweep cache size (max(requested, need_one)), so a halved
+        budget alone would re-run the exact plan that just OOM'd."""
         argv = list(argv)
+        halved = False
         for i, a in enumerate(argv):
             if a == "--cache_gb" and i + 1 < len(argv):
                 argv[i + 1] = str(max(1.0, float(argv[i + 1]) / 2))
-                return argv
+                halved = True
+                break
             if a.startswith("--cache_gb="):
                 v = max(1.0, float(a.split("=", 1)[1]) / 2)
                 argv[i] = f"--cache_gb={v}"
-                return argv
-        return argv + ["--cache_gb", "5.0"]  # half the 10 GB default
+                halved = True
+                break
+        if not halved:
+            # half the RESOLVED default (resolve_defaults: 10 GB only for
+            # the full north-star default shapes, 8 GB otherwise)
+            explicit = any(a == f or a.startswith(f + "=")
+                           for a in argv for f in ("--n_q", "--n_syn"))
+            full_default = "--quick" not in argv and not explicit
+            argv += ["--cache_gb", "5.0" if full_default else "4.0"]
+        if "--no_auto_plan" not in argv:
+            argv.append("--no_auto_plan")
+        return argv
 
     argv = list(sys.argv)
     rc = 1
-    for attempt in range(3):
+    attempts = 3
+    for attempt in range(attempts):
         rc = subprocess.call([sys.executable] + argv, env=env)
+        if rc not in (3, 4):
+            break  # 0 = done; anything else = real bug
+        if attempt == attempts - 1:
+            break  # out of retries — don't log/sleep for a retry
         if rc == 3:  # watchdog: device unresponsive, same config retries
             print(f"# bench attempt {attempt + 1} hit an unresponsive "
                   "device; retrying in a fresh process",
                   file=sys.stderr, flush=True)
             time.sleep(90)
-        elif rc == 4:  # unrecovered OOM: fresh process, half the cache
+        else:  # rc == 4, unrecovered OOM: fresh process, half the cache
             argv = _halve_cache(argv)
             print(f"# bench attempt {attempt + 1} died of an unrecovered "
                   f"device OOM; retrying in a fresh process with a "
                   f"smaller query cache", file=sys.stderr, flush=True)
-        else:
-            break  # 0 = done; anything else = real bug
     sys.exit(rc)

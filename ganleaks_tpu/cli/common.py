@@ -20,7 +20,9 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
     Disable with GANLEAKS_NO_COMPILE_CACHE=1."""
     import os
 
-    if os.environ.get("GANLEAKS_NO_COMPILE_CACHE"):
+    from ganleaks_tpu.utils.env import env_flag
+
+    if env_flag("GANLEAKS_NO_COMPILE_CACHE"):
         return
     import jax
 

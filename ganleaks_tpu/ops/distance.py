@@ -26,12 +26,13 @@ attack drops from O(N_q * N_s) network forwards to O(N_q + N_s).
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ganleaks_tpu.utils.env import env_flag
 
 Array = jax.Array
 
@@ -84,7 +85,7 @@ def images_unit_range(x: Array) -> Array:
     """
     if x.dtype != jnp.uint8:
         return x
-    strict = os.environ.get(_U8_STRICT_ENV, "") not in ("", "0")
+    strict = env_flag(_U8_STRICT_ENV)
     if strict or _dequant_platform() != "tpu":
         return jnp.take(jnp.asarray(_U8_UNIT_TABLE), x, axis=0)
     return (2.0 * x.astype(jnp.float32) - 255.0) / 255.0

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ganleaks_tpu.utils.env import env_flag
+
 # Streamed-search backpressure: the host may run at most this many
 # featurize blocks ahead of the device (see _stream_search's docstring).
 # 2 bounds pinned in-flight HBM to ~2 GB at north-star query blocks while
@@ -349,7 +351,8 @@ def _device_hbm_bytes() -> int | None:
 
 def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
                       q_block: int, s_block: int, cache_bytes: int,
-                      resident_bytes: int | None = None
+                      resident_bytes: int | None = None,
+                      feat_rows: int | None = None
                       ) -> tuple[int, int]:
     """Projection-driven (cache_bytes, s_block) adjustment for the
     streamed search. Uses the same static accounting as
@@ -377,8 +380,16 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     OOM resume. ``resident_bytes`` overrides the default
     ``queries.nbytes + syn.nbytes`` residency charge — the mesh driver
     passes its PER-CHIP residency (one synthetic shard + one host-shipped
-    query block; the query cache it sizes here is replicated per chip)."""
-    if os.environ.get("GANLEAKS_NO_AUTO_PLAN", "").strip() not in ("", "0"):
+    query block; the query cache it sizes here is replicated per chip).
+    ``feat_rows`` overrides the PER-CHIP rows featurized per query block
+    for the activation charge (defaults to ``q_block``; the mesh driver
+    batch-shards featurize n_dev ways, so each chip only runs
+    ``q_block / n_dev`` rows through the tower — charging the global
+    q_block would overcharge activations up to n_dev-fold and wrongly
+    refuse one-sweep schedules). ``q_block`` itself still sets the cache
+    padding and the cache floor, which ARE global (the cache is
+    replicated)."""
+    if env_flag("GANLEAKS_NO_AUTO_PLAN"):
         return cache_bytes, s_block
     hbm = _device_hbm_bytes()
     if hbm is None:
@@ -388,8 +399,11 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     else:  # tabular: embed output rows, f32, x2 overlap
         act_per_row = int(np.prod(queries.shape[1:])) * 4 * 2
 
+    if feat_rows is None:
+        feat_rows = q_block
+
     def overhead(sb: int) -> int:
-        return 2 * sb * row_bytes + max(q_block, sb) * act_per_row
+        return 2 * sb * row_bytes + max(feat_rows, sb) * act_per_row
 
     n_q = queries.shape[0]
     padded = n_q + (-n_q) % q_block
@@ -441,6 +455,14 @@ def _update_rows(buf: Array, part: Array, offset) -> Array:
         buf, part, (offset,) + (0,) * (buf.ndim - 1))
 
 
+def _drain(x):
+    """``jax.block_until_ready`` behind a module hook: the streamed
+    search's backpressure/verification sync points go through here so
+    tests can inject DEFERRED (async-surfacing) failures at exactly the
+    places a real TPU surfaces them."""
+    return jax.block_until_ready(x)
+
+
 def _flat_block_norms(emb_norms, x: Array, start: int, block: int
                       ) -> tuple[list[Array], Array, int]:
     """:func:`_block_norms` wrapped to the parts contract (1-part list) so
@@ -456,8 +478,14 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
     (flat/parts x argmin/top-k): featurize the query rows chunk by chunk
     into preallocated donated cache buffers, sweep the synthetic set once
     per chunk, and resume on device OOM by halving only the offending
-    dimension's block (completed cache rows and running fold state are
-    kept; no finished block is recomputed).
+    dimension's block. For SYNC failures (raised at the failing block's
+    own dispatch) completed cache rows and running fold state are kept —
+    no finished block is recomputed. For DEFERRED failures (async
+    execution OOMs surfacing at a later drain, after the failed block's
+    poisoned outputs were committed into the donated cache / fold state)
+    resume would silently keep the poison, so the driver restarts the
+    smallest enclosing unit instead: the chunk featurize (fresh cache
+    bufs) or the synthetic sweep (fresh fold state).
 
     Hooks:
       ``block_norms(x, start, block) -> (parts, f32 row norms, n_valid)``
@@ -541,18 +569,15 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
             continue
         qs = qs0
         inflight: deque = deque()  # backpressure window (see docstring)
+        refeaturize = False
+        oom_err: Exception | None = None
         while qs < end:
             try:
                 parts, rq_part, _ = block_norms(queries, qs, q_block)
-                # bound the in-flight queue: block on the featurize from
-                # _SYNC_WINDOW blocks ago (in-order execution ⇒ all its
-                # predecessors, including their multi-GB parts outputs,
-                # have drained). Inside the try: a deferred async OOM
-                # surfaces HERE, where the resume logic lives.
-                inflight.append(rq_part)
-                if len(inflight) > _SYNC_WINDOW:
-                    jax.block_until_ready(inflight.popleft())
             except Exception as e:
+                # SYNC failure (raised at dispatch of THIS block):
+                # nothing was written and qs has not advanced — halve
+                # q_block and resume at this row
                 if not _is_oom(e) or q_block <= 1:
                     raise
                 q_block = max(1, q_block // 2)
@@ -563,28 +588,75 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 print(f"[knn] query featurize OOM; q_block={q_block} "
                       f"(resuming at row {qs}; {_hbm_live()})")
                 continue
-            cap = padded - (qs - qs0)
-            if parts[0].shape[0] > cap:
-                parts = [p[:cap] for p in parts]
-                rq_part = rq_part[:cap]
-            bufs = [_update_rows(b, p, qs - qs0)
-                    for b, p in zip(bufs, parts)]
-            rq = _update_rows(rq, rq_part, qs - qs0)
-            qs += parts[0].shape[0]
+            try:
+                cap = padded - (qs - qs0)
+                if parts[0].shape[0] > cap:
+                    parts = [p[:cap] for p in parts]
+                    rq_part = rq_part[:cap]
+                bufs = [_update_rows(b, p, qs - qs0)
+                        for b, p in zip(bufs, parts)]
+                rq = _update_rows(rq, rq_part, qs - qs0)
+                qs += parts[0].shape[0]
+                # bound the in-flight queue: block on the featurize from
+                # _SYNC_WINDOW blocks ago (in-order execution ⇒ all its
+                # predecessors, including their multi-GB parts outputs,
+                # have drained)
+                inflight.append(rq_part)
+                if len(inflight) > _SYNC_WINDOW:
+                    _drain(inflight.popleft())
+            except Exception as e:
+                # DEFERRED failure: an async OOM from a block dispatched
+                # up to _SYNC_WINDOW iterations ago surfaces here, AFTER
+                # its outputs were folded into the DONATED cache bufs
+                # and qs advanced past it — the cache is poisoned and
+                # resuming at qs would keep the poison. Drop the cache
+                # and refeaturize the whole chunk at the halved q_block.
+                if not _is_oom(e) or q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                refeaturize, oom_err = True, e
+                break
+        if not refeaturize:
+            try:
+                # verify the WHOLE cache before sweeping: a deferred
+                # featurize failure still in flight must not surface
+                # mid-sweep masquerading as a fold failure (the sweep
+                # resume paths assume the cache is good). Costs one sync
+                # per CHUNK — noise next to the sweep it precedes.
+                _drain((bufs, rq))
+            except Exception as e:
+                if not _is_oom(e) or q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                refeaturize, oom_err = True, e
+        if refeaturize:
+            inflight.clear()
+            bufs = rq = parts = rq_part = None  # noqa: F841
+            if not _free_fence():
+                raise oom_err
+            print(f"[knn] deferred query featurize OOM; q_block={q_block} "
+                  f"(refeaturizing the chunk at row {qs0}; {_hbm_live()})")
+            continue  # fresh bufs at the chunk-loop top; qs0 unchanged
         state = init_state(padded)
         ss = 0
         restart_chunk = False
         inflight_s: deque = deque()
         while ss < n_s:
+            deferred = False
             try:
                 s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
                 new_state = fold(state, bufs, rq, s_parts, rs_blk, ss,
                                  n_valid)
-                # backpressure (see docstring) — also surfaces deferred
-                # async failures inside this try, on the resume path
+                state = new_state
+                ss += n_valid
+                deferred = True  # past the commit: failures below belong
+                # to a fold already folded into `state`
+                # backpressure (see docstring) — a deferred async failure
+                # from a fold committed up to _SYNC_WINDOW blocks ago
+                # surfaces HERE, after `state` absorbed its output
                 inflight_s.append(rs_blk)
                 if len(inflight_s) > _SYNC_WINDOW:
-                    jax.block_until_ready(inflight_s.popleft())
+                    _drain(inflight_s.popleft())
             except Exception as e:
                 if not _is_oom(e):
                     raise
@@ -598,8 +670,21 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                     s_parts = rs_blk = None  # noqa: F841
                     if not _free_fence():
                         raise
-                    print(f"[knn] synthetic stream OOM; s_block={s_block} "
-                          f"(resuming at row {ss}; {_hbm_live()})")
+                    if deferred:
+                        # the failed fold's poisoned output is already in
+                        # `state` (and folds after it compounded it):
+                        # reset the state and restart the sweep — the
+                        # query cache is read-only to the fold and was
+                        # verified before the sweep, so it survives
+                        state = init_state(padded)
+                        ss = 0
+                        print(f"[knn] deferred synthetic stream OOM; "
+                              f"s_block={s_block} (restarting the sweep; "
+                              f"{_hbm_live()})")
+                    else:
+                        print(f"[knn] synthetic stream OOM; "
+                              f"s_block={s_block} (resuming at row {ss}; "
+                              f"{_hbm_live()})")
                     continue
                 # s_block exhausted: the pressure is the RESIDENT side
                 # (query cache + fold state), not the streamed block —
@@ -621,8 +706,6 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 restart_chunk = True
                 oom_err = e
                 break
-            state = new_state
-            ss += n_valid
         if restart_chunk:
             del bufs, rq, state
             parts = rq_part = s_parts = rs_blk = None  # noqa: F841
@@ -659,7 +742,12 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
     search RESUMES: query featurize failures halve ``q_block`` keeping the
     already-featurized query blocks; synthetic-stream failures halve
     ``s_block`` keeping the running (min, argmin) partials and the query
-    embedding cache — no completed block is recomputed.
+    embedding cache — no completed block is recomputed. (That no-recompute
+    guarantee holds for failures raised at the failing block's own
+    dispatch; an OOM that surfaces ASYNC — at a later sync point, after
+    poisoned outputs were already committed — restarts the enclosing
+    chunk featurize or synthetic sweep, never resumes over poison: see
+    ``_stream_search``.)
 
     ``engine`` is 'gemm' | 'exact' | 'pallas' ('pallas' = gemm math in the
     fused VMEM-argmin kernel, ``ops/knn_pallas.py``).

@@ -39,13 +39,14 @@ computes LPIPS per image pair with no featurize stage at all
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from ganleaks_tpu.utils.env import env_flag
 
 Array = jax.Array
 
@@ -180,9 +181,9 @@ def tap_epilogue(fl: Array, scale: np.ndarray, *, embed_dtype, out_dtype,
 
 
 def _env_set(name: str) -> bool:
-    """'' and '0' count as unset (the GANLEAKS_U8_LUT convention,
-    ``ops/distance.py``) so ``VAR=0`` means what it says."""
-    return os.environ.get(name, "") not in ("", "0")
+    """'' and '0' count as unset so ``VAR=0`` means what it says
+    (package-wide convention: ``utils/env.py``)."""
+    return env_flag(name)
 
 
 def _enabled() -> str | None:

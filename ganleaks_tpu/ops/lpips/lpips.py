@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ganleaks_tpu.utils.env import env_flag
 from ganleaks_tpu.ops.lpips.backbones import (
     backbone_channels,
     backbone_features,
@@ -320,7 +321,7 @@ def lpips_fast_parts_norms(params: dict, weight: float, dtype,
     # the kill-switch must work even when the kernel module cannot
     # import (pallas namespaces move across jax releases) — check the
     # env and guard the import BEFORE touching epilogue_pallas
-    if os.environ.get("GANLEAKS_NO_PALLAS_EPILOGUE", "") not in ("", "0"):
+    if env_flag("GANLEAKS_NO_PALLAS_EPILOGUE"):
         return None
     try:
         from ganleaks_tpu.ops.lpips.epilogue_pallas import (

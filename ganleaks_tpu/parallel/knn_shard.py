@@ -354,10 +354,15 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     # so the one-sweep upgrade and the over-ask cap use each chip's
     # residency — its synthetic shard plus one host-shipped query block
     img_row = int(np.prod(queries.shape[1:])) * queries.dtype.itemsize
+    # featurize is batch-sharded (device_put(blk, data_sh) below): each
+    # chip ships and runs q_block/n_dev rows per block — charge the
+    # per-chip share for the resident block and the tower activations
     query_cache_bytes, s_block = _auto_stream_plan(
         queries, syn, row_bytes, q_block=q_block, s_block=s_block,
         cache_bytes=query_cache_bytes,
-        resident_bytes=syn_flat.nbytes // n_dev + q_block * img_row)
+        resident_bytes=(syn_flat.nbytes // n_dev
+                        + (q_block // n_dev) * img_row),
+        feat_rows=q_block // n_dev)
     chunk_rows = max(q_block,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)

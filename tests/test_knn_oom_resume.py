@@ -275,6 +275,103 @@ def test_randomized_oom_schedules_match_clean(eager_knn):
                                    err_msg=f"fail_on={sorted(fail_on)}")
 
 
+class DrainInjector:
+    """Wraps ``knn._drain``: raises RESOURCE_EXHAUSTED on chosen
+    drain-call numbers — simulating an ASYNC execution failure that
+    surfaces at a later sync point (the way the tunneled v5e actually
+    delivers streaming OOMs), after the poisoned outputs were already
+    committed downstream."""
+
+    def __init__(self, fail_on=()):
+        self.calls = 0
+        self.fail_on = set(fail_on)
+
+    def __call__(self, x):
+        import jax
+
+        self.calls += 1
+        if self.calls in self.fail_on:
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected deferred OOM")
+        return jax.block_until_ready(x)
+
+
+class PoisoningEmbed(InjectingEmbed):
+    """Returns wildly wrong embeddings on chosen call numbers (the block
+    an async failure belonged to): if the driver keeps those outputs, the
+    final neighbors are wrong — equality with the clean run proves the
+    poisoned writes were discarded."""
+
+    def __init__(self, poison_on_calls=()):
+        super().__init__()
+        self.poison_on = set(poison_on_calls)
+
+    def __call__(self, x):
+        import jax
+
+        out = super().__call__(x)
+        if (not isinstance(x, jax.core.Tracer)
+                and self.calls in self.poison_on):
+            out = out * 0.0 - 1e6
+        return out
+
+
+def test_deferred_query_oom_refeaturizes_chunk(eager_knn, monkeypatch):
+    """An async query-featurize OOM surfaces only at a later drain, after
+    the failed block's poisoned outputs were committed into the DONATED
+    cache bufs and qs advanced past it. Resuming at qs (the old behavior)
+    would keep the poison forever — the driver must drop the cache and
+    refeaturize the chunk."""
+    queries = tagged(8, 1000.0)
+    syn = tagged(16, 0.0)
+    ref_d, ref_i = clean_result(queries, syn)
+
+    # call 2 (query rows 4-8) is the async-failed block: its outputs are
+    # garbage, and the failure surfaces at the pre-sweep verification
+    # drain (drain call 1) — after the garbage hit the donated cache
+    embed = PoisoningEmbed(poison_on_calls=(2,))
+    monkeypatch.setattr(knn_mod, "_drain", DrainInjector(fail_on=(1,)))
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=4)
+
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
+    # the whole chunk was refeaturized once more (poison discarded)
+    q_rows = coverage(embed.log, 1000.0, 8)
+    assert sorted(q_rows) == sorted(list(range(8)) * 2), \
+        "chunk refeaturized exactly once after the deferred OOM"
+
+
+def test_deferred_syn_oom_restarts_sweep(eager_knn, monkeypatch):
+    """An async fold OOM surfaces at the backpressure drain, up to
+    _SYNC_WINDOW blocks after `state` absorbed the poisoned fold output.
+    Resuming at the current row (the old behavior) would keep the poison
+    in the running (min, argmin) — the driver must reset the state and
+    restart the sweep (the verified query cache survives)."""
+    queries = tagged(4, 1000.0)
+    syn = tagged(32, 0.0)  # true NN of every query = syn row 31 (last blk)
+    ref_d, ref_i = clean_result(queries, syn)
+
+    # call 1 = query block; calls 2-5 = syn blocks. Poison call 5 (rows
+    # 24-32, holding every true NN); the failure surfaces at its
+    # backpressure drain (drain 1 = pre-sweep verify, 2 = popleft after
+    # block 3, 3 = popleft after block 4 — the poisoned fold is in state)
+    embed = PoisoningEmbed(poison_on_calls=(5,))
+    monkeypatch.setattr(knn_mod, "_drain", DrainInjector(fail_on=(3,)))
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=4)
+
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
+    # the sweep restarted: synthetic rows featurized twice, the query
+    # cache was NOT refeaturized
+    syn_rows = coverage(embed.log, 0.0, 32)
+    assert sorted(syn_rows) == sorted(list(range(32)) * 2), \
+        "sweep restarted exactly once after the deferred fold OOM"
+    q_rows = coverage(embed.log, 1000.0, 4)
+    assert sorted(q_rows) == list(range(4)), \
+        "query cache survived the sweep restart"
+
+
 def test_sticky_runtime_aborts_resume_immediately(eager_knn, monkeypatch):
     """When the free-fence itself cannot run (sticky runtime error state,
     observed on the tunneled v5e after a deferred async OOM), the halving

@@ -102,6 +102,25 @@ def test_cpu_backend_reports_unknown_hbm():
     assert knn_mod._device_hbm_bytes() is None
 
 
+def test_feat_rows_models_per_chip_featurize(v5e):
+    """The mesh driver batch-shards query featurize n_dev ways: each chip
+    runs q_block/n_dev rows through the tower, so the activation charge
+    must use the per-chip share. Charging the GLOBAL q_block (the old
+    behavior) overcharges up to n_dev-fold and refuses one-sweep
+    schedules the per-chip plan exists to enable."""
+    q, s = north_star_arrays()
+    resident = int(2.3 * GIB)  # per-chip: synthetic shard + query block
+    full = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                             cache_bytes=8 * GIB, resident_bytes=resident)
+    chip = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                             cache_bytes=8 * GIB, resident_bytes=resident,
+                             feat_rows=2048 // 8)
+    assert full[0] < 20480 * ROW, \
+        "global-q_block activation charge refuses the one-sweep plan"
+    assert chip[0] >= 20480 * ROW, \
+        "per-chip activation charge accepts the one-sweep plan"
+
+
 def test_resident_override_models_per_chip_budget(v5e):
     """The mesh driver passes per-chip residency (one synthetic shard +
     one query block) instead of the full sets: with the synthetic set
