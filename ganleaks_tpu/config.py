@@ -381,3 +381,24 @@ class FIDConfig:
     batch_size: int = 50           # z_fid.py:68
     weights: str | None = None     # converted InceptionV3 weights npz
     sqrtm: str = "newton-schulz"   # 'newton-schulz' | 'eigh' | 'scipy'
+
+
+@dataclass
+class ScoresConfig:
+    """Perceptual-metric evaluation against human judgments — the
+    DistModel scoring surface (``dist_model.py:253-330``) the reference
+    exposes only as library calls. Dataset is the original LPIPS layout:
+    ``data_dir/{ref,p0,p1}/*.png + judge/*.npy`` for 2AFC,
+    ``data_dir/{p0,p1}/*.png + same/*.npy`` for JND; or a single .npz
+    with those arrays (keys ref/p0/p1/judge or p0/p1/same)."""
+
+    data_dir: str = ""             # directory layout or a .npz path
+    mode: str = "2afc"             # '2afc' | 'jnd'
+    model: str = "net-lin"         # 'net-lin' | 'net' | 'l2' | 'ssim'
+    net: str = "vgg"               # backbone for net-lin/net
+    colorspace: str = "Lab"        # for l2/ssim (dist_model.py:39)
+    weights: str | None = None     # lpips params npz (surrogate otherwise)
+    resolution: int = 64
+    batch_size: int = 256
+    limit: int | None = None       # cap on triplets/pairs (smoke runs)
+    out_json: str | None = None

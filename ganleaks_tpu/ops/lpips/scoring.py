@@ -53,6 +53,38 @@ def score_jnd(ds: np.ndarray, sames: np.ndarray) -> float:
     return float(np.sum((mrec[idx] - mrec[idx - 1]) * mpre[idx]))
 
 
+def make_pair_dist_fn(model: str = "net-lin", net: str = "vgg",
+                      colorspace: str = "Lab", weights: str | None = None):
+    """The DistModel factory branches (``dist_model.py:63-86``) as a
+    batched pair-distance callable ``(a, b) -> np.ndarray`` over NHWC
+    [-1, 1] batches: 'net-lin' (calibrated LPIPS), 'net' (uncalibrated
+    cosine), 'l2'/'ssim' (non-network baselines, Lab by default)."""
+    m = model.lower().replace("_", "-")
+    if m in ("net-lin", "net"):
+        import jax
+        import jax.numpy as jnp
+
+        from ganleaks_tpu.ops.lpips.lpips import (default_lpips_params,
+                                                  load_lpips_params,
+                                                  lpips_pair, pnet_pair)
+        params = (load_lpips_params(weights) if weights
+                  else default_lpips_params(net=net))
+        fn = lpips_pair if m == "net-lin" else pnet_pair
+        pair = jax.jit(lambda a, b: fn(params, a, b))
+
+        def dist(a, b):
+            return np.asarray(pair(jnp.asarray(a, jnp.float32),
+                                   jnp.asarray(b, jnp.float32)))
+        return dist
+    from ganleaks_tpu.ops.lpips.fakenets import dssim_distance, l2_distance
+    if m == "l2":
+        return lambda a, b: l2_distance(a, b, colorspace=colorspace)
+    if m in ("ssim", "dssim"):
+        return lambda a, b: dssim_distance(a, b, colorspace=colorspace)
+    raise ValueError(f"unknown distance model {model!r} "
+                     "(net-lin | net | l2 | ssim)")
+
+
 def score_2afc_dataset(dist_fn, triplets) -> tuple[float, dict]:
     """Reference-shaped driver: ``dist_fn(a, b) -> per-pair distances``,
     ``triplets`` yields dicts with 'ref', 'p0', 'p1', 'judge' arrays."""
