@@ -25,6 +25,7 @@ lexicographic (distance, index) fold instead.
 
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 
 import jax
@@ -34,7 +35,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ganleaks_tpu.ops.knn import (
     disable_fast_epilogue,
+    _SYNC_WINDOW,
     _auto_stream_plan,
+    _drain,
+    _free_fence,
     _fold_block,
     _fold_block_parts,
     _fold_block_parts_q,
@@ -412,6 +416,9 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                   f"chunk_rows={chunk_rows} (more synthetic sweeps)")
             continue
         qs = qs0
+        inflight: deque = deque()  # backpressure window (ops/knn docstring)
+        refeaturize = False
+        oom_err: Exception | None = None
         while qs < end:
             blk, _ = _slice_pad(queries, qs, q_block)
             try:
@@ -430,26 +437,66 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                               "XLA path")
                         continue
                     raise
+                # SYNC failure: nothing written, qs not advanced
                 if q_block <= n_dev:
                     raise
                 q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
+                inflight.clear()
                 print(f"[knn-mesh] query featurize OOM; q_block={q_block} "
                       f"(resuming at row {qs})")
                 continue
-            cap = padded - (qs - qs0)
-            if parts[0].shape[0] > cap:
-                parts = [p[:cap] for p in parts]
-                rq_part = rq_part[:cap]
-            bufs = [_update_rows(b, p, qs - qs0)
-                    for b, p in zip(bufs, parts)]
-            rq = _update_rows(rq, rq_part, qs - qs0)
-            qs += parts[0].shape[0]
+            try:
+                cap = padded - (qs - qs0)
+                if parts[0].shape[0] > cap:
+                    parts = [p[:cap] for p in parts]
+                    rq_part = rq_part[:cap]
+                bufs = [_update_rows(b, p, qs - qs0)
+                        for b, p in zip(bufs, parts)]
+                rq = _update_rows(rq, rq_part, qs - qs0)
+                qs += parts[0].shape[0]
+                # bound the in-flight queue (the host otherwise dispatches
+                # the whole chunk ahead of the devices, pinning every
+                # pending block's multi-GB parts in HBM at once)
+                inflight.append(rq_part)
+                if len(inflight) > _SYNC_WINDOW:
+                    _drain(inflight.popleft())
+            except Exception as e:
+                # DEFERRED failure: the failed block's outputs may already
+                # be in the donated replicated cache with qs advanced past
+                # it — drop the cache, refeaturize the chunk (ops/knn
+                # _stream_search has the full rationale)
+                if not _is_oom(e) or q_block <= n_dev:
+                    raise
+                q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
+                refeaturize, oom_err = True, e
+                break
+        if not refeaturize:
+            try:
+                # verify the whole cache before sweeping so a deferred
+                # featurize failure cannot masquerade as a fold failure
+                _drain((bufs, rq))
+            except Exception as e:
+                if not _is_oom(e) or q_block <= n_dev:
+                    raise
+                q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
+                refeaturize, oom_err = True, e
+        if refeaturize:
+            inflight.clear()
+            bufs = rq = parts = rq_part = None  # noqa: F841
+            if not _free_fence():
+                raise oom_err
+            print(f"[knn-mesh] deferred query featurize OOM; "
+                  f"q_block={q_block} (refeaturizing the chunk at row "
+                  f"{qs0})")
+            continue  # fresh bufs at the chunk-loop top; qs0 unchanged
 
         st_shape = (n_dev, padded) if k is None else (n_dev, padded, k)
         run_d, run_i = init_state(st_shape)
         rs_max = zeros_rep((), jnp.float32)
         ss = 0
+        inflight_s: deque = deque()
         while ss < shard_p:
+            deferred = False
             try:
                 fold = _build_fold_step(embed_fn, mesh, axis, cdtype,
                                         structured, engine, s_block, k,
@@ -457,6 +504,14 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 new_d, new_i, rs_max_new = fold(
                     syn_flat, bufs, rq, run_d, run_i, rs_max,
                     jnp.int32(ss), jnp.int32(shard_p), jnp.int32(n_s))
+                run_d, run_i, rs_max = new_d, new_i, rs_max_new
+                ss += s_block
+                deferred = True  # past the commit (see ops/knn)
+                # backpressure — a deferred async failure from a fold
+                # committed up to _SYNC_WINDOW blocks ago surfaces here
+                inflight_s.append(rs_max_new)
+                if len(inflight_s) > _SYNC_WINDOW:
+                    _drain(inflight_s.popleft())
             except Exception as e:
                 if not _is_oom(e):
                     if disable_fast_epilogue(embed_fn):
@@ -468,11 +523,22 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 if s_block <= 1:
                     raise
                 s_block = max(1, s_block // 2)
-                print(f"[knn-mesh] synthetic stream OOM; s_block={s_block} "
-                      f"(resuming at row {ss})")
+                inflight_s.clear()
+                if not _free_fence():
+                    raise
+                if deferred:
+                    # the failed fold is already folded into the running
+                    # state: reset it and restart the sweep (the verified
+                    # query cache is read-only to the fold and survives)
+                    run_d, run_i = init_state(st_shape)
+                    rs_max = zeros_rep((), jnp.float32)
+                    ss = 0
+                    print(f"[knn-mesh] deferred synthetic stream OOM; "
+                          f"s_block={s_block} (restarting the sweep)")
+                else:
+                    print(f"[knn-mesh] synthetic stream OOM; "
+                          f"s_block={s_block} (resuming at row {ss})")
                 continue
-            run_d, run_i, rs_max = new_d, new_i, rs_max_new
-            ss += s_block
         d, i = combine(run_d, run_i)
         rs_max_val = rs_max if rs_max_val is None else \
             jnp.maximum(rs_max_val, rs_max)
@@ -779,29 +845,66 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
 
     zeros_sh = jax.jit(lambda shape, dt: jnp.zeros(shape, dt),
                        static_argnums=(0, 1), out_shardings=data_sh)
-    bufs = [zeros_sh((q_shard_p * n_dev,) + tuple(p.shape[1:]), cdtype)
-            for p in probe]
-    rq = zeros_sh((q_shard_p * n_dev,), jnp.float32)
-    qs = 0
-    while qs < q_shard_p:
-        try:
-            qcache = _build_ring_qcache(embed_fn, mesh, axis, cdtype,
-                                        structured, bounds, q_block)
-            bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
-        except Exception as e:
-            if not _is_oom(e):
-                if disable_fast_epilogue(embed_fn):
-                    print("[knn-ring] pallas epilogue failed under the "
-                          "ring wrapper; rebuilding with the XLA path")
-                    continue
-                raise
-            if q_block <= 1:
-                raise
-            q_block = max(1, q_block // 2)
-            print(f"[knn-ring] query featurize OOM; q_block={q_block} "
-                  f"(resuming at local row {qs})")
-            continue
-        qs += q_block
+    while True:  # one restart per deferred featurize failure
+        bufs = [zeros_sh((q_shard_p * n_dev,) + tuple(p.shape[1:]), cdtype)
+                for p in probe]
+        rq = zeros_sh((q_shard_p * n_dev,), jnp.float32)
+        qs = 0
+        inflight: deque = deque()
+        refeaturize = False
+        oom_err: Exception | None = None
+        while qs < q_shard_p:
+            try:
+                qcache = _build_ring_qcache(embed_fn, mesh, axis, cdtype,
+                                            structured, bounds, q_block)
+                bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
+            except Exception as e:
+                if not _is_oom(e):
+                    if disable_fast_epilogue(embed_fn):
+                        print("[knn-ring] pallas epilogue failed under the "
+                              "ring wrapper; rebuilding with the XLA path")
+                        continue
+                    raise
+                # SYNC failure: bufs/rq keep their pre-call (partially
+                # filled) bindings — resume at this row
+                if q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                inflight.clear()
+                print(f"[knn-ring] query featurize OOM; q_block={q_block} "
+                      f"(resuming at local row {qs})")
+                continue
+            qs += q_block
+            try:
+                # backpressure + deferred-failure surfacing (ops/knn
+                # _stream_search has the rationale): past this point a
+                # failure belongs to a block whose poisoned output bufs
+                # was already REBOUND to — restart the cache fill
+                inflight.append(rq)
+                if len(inflight) > _SYNC_WINDOW:
+                    _drain(inflight.popleft())
+            except Exception as e:
+                if not _is_oom(e) or q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                refeaturize, oom_err = True, e
+                break
+        if not refeaturize:
+            try:
+                _drain((bufs, rq))  # verify before the sweep
+            except Exception as e:
+                if not _is_oom(e) or q_block <= 1:
+                    raise
+                q_block = max(1, q_block // 2)
+                refeaturize, oom_err = True, e
+        if not refeaturize:
+            break
+        inflight.clear()
+        bufs = rq = None  # noqa: F841
+        if not _free_fence():
+            raise oom_err
+        print(f"[knn-ring] deferred query featurize OOM; q_block={q_block} "
+              f"(refeaturizing the query cache)")
 
     init = jax.jit(
         lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
@@ -809,7 +912,9 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
         static_argnums=0, out_shardings=(state_sh, state_sh))
     run_d, run_i = init((n_dev, q_shard_p))
     ss = 0
+    inflight_s: deque = deque()
     while ss < shard_p:
+        deferred = False
         try:
             step = _build_ring_step(embed_fn, mesh, axis, cdtype,
                                     structured, engine, s_block,
@@ -817,6 +922,12 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
             new_d, new_i = step(syn_sh, bufs, rq, run_d, run_i,
                                 jnp.int32(ss), jnp.int32(shard_p),
                                 jnp.int32(n_s))
+            run_d, run_i = new_d, new_i
+            ss += s_block
+            deferred = True  # past the commit (see ops/knn)
+            inflight_s.append(new_d)
+            if len(inflight_s) > _SYNC_WINDOW:
+                _drain(inflight_s.popleft())
         except Exception as e:
             if not _is_oom(e):
                 if disable_fast_epilogue(embed_fn):
@@ -827,11 +938,21 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
             if s_block <= 1:
                 raise
             s_block = max(1, s_block // 2)
-            print(f"[knn-ring] synthetic stream OOM; s_block={s_block} "
-                  f"(resuming at row {ss})")
+            inflight_s.clear()
+            if not _free_fence():
+                raise
+            if deferred:
+                # the failed step's poisoned output is already in the
+                # running state: reset and restart the sweep (the
+                # verified query cache survives — steps read it only)
+                run_d, run_i = init((n_dev, q_shard_p))
+                ss = 0
+                print(f"[knn-ring] deferred synthetic stream OOM; "
+                      f"s_block={s_block} (restarting the sweep)")
+            else:
+                print(f"[knn-ring] synthetic stream OOM; s_block={s_block} "
+                      f"(resuming at row {ss})")
             continue
-        run_d, run_i = new_d, new_i
-        ss += s_block
 
     d = run_d.reshape(-1)[:n_q]
     i = run_i.reshape(-1)[:n_q]

@@ -399,3 +399,96 @@ def test_attack_driver_ring_layout(rng, mesh):
     np.testing.assert_array_equal(ref["pos_nn_idx"], out["pos_nn_idx"])
     np.testing.assert_allclose(ref["pos_loss"], out["pos_loss"],
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# deferred (async-surfacing) failures: restart, never resume over poison
+# ---------------------------------------------------------------------------
+
+class _OneShotDrainOOM:
+    """Raises RESOURCE_EXHAUSTED on chosen _drain call numbers, passing
+    through otherwise — simulates an async execution failure surfacing at
+    a later sync point, the way a real TPU delivers streaming OOMs."""
+
+    def __init__(self, fail_on=(1,)):
+        self.calls = 0
+        self.fail_on = set(fail_on)
+
+    def __call__(self, x):
+        self.calls += 1
+        if self.calls in self.fail_on:
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected deferred OOM")
+        return jax.block_until_ready(x)
+
+
+def test_mesh_deferred_query_oom_refeaturizes_chunk(rng, mesh, monkeypatch,
+                                                    capsys):
+    """A deferred featurize failure surfaces at the pre-sweep cache
+    verification: the replicated donated cache may hold the failed
+    block's poisoned writes, so the chunk must REFEATURIZE (fresh bufs,
+    halved q_block), not resume."""
+    q, s = _data(rng, n_q=32, n_s=32)
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=16, s_block=8)
+    inj = _OneShotDrainOOM(fail_on=(1,))  # the pre-sweep verify drain
+    monkeypatch.setattr(ks, "_drain", inj)
+    d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
+                                            q_block=16, s_block=8)
+    assert inj.calls >= 1
+    assert "deferred query featurize OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_mesh_deferred_fold_oom_restarts_sweep(rng, mesh, monkeypatch,
+                                               capsys):
+    """A deferred fold failure surfaces at the sweep's backpressure drain
+    AFTER the poisoned fold was committed into the running state: the
+    sweep must restart with fresh state (the verified cache survives)."""
+    q, s = _data(rng, n_q=8, n_s=64)
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    # drain 1 = pre-sweep verify; drain 2 = first sweep popleft (after
+    # the 3rd of 4 fold steps at s_block=2 over the 8-row shards)
+    inj = _OneShotDrainOOM(fail_on=(2,))
+    monkeypatch.setattr(ks, "_drain", inj)
+    d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
+                                            q_block=8, s_block=2)
+    assert "deferred synthetic stream OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_ring_deferred_query_oom_refills_cache(rng, mesh, monkeypatch,
+                                               capsys):
+    q, s = _data(rng, n_q=32, n_s=32)
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    # q_shard_p=4, q_block=2 -> 2 fill calls (no popleft within the
+    # window); drain 1 = the pre-sweep verify
+    inj = _OneShotDrainOOM(fail_on=(1,))
+    monkeypatch.setattr(ks, "_drain", inj)
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=2, s_block=4)
+    assert "deferred query featurize OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_ring_deferred_step_oom_restarts_sweep(rng, mesh, monkeypatch,
+                                               capsys):
+    q, s = _data(rng, n_q=8, n_s=64)
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    # drain 1 = verify; drain 2 = first ring-sweep popleft
+    inj = _OneShotDrainOOM(fail_on=(2,))
+    monkeypatch.setattr(ks, "_drain", inj)
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=4, s_block=2)
+    assert "deferred synthetic stream OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
