@@ -372,6 +372,29 @@ def test_deferred_syn_oom_restarts_sweep(eager_knn, monkeypatch):
         "query cache survived the sweep restart"
 
 
+def test_randomized_mixed_oom_schedules_match_clean(eager_knn, monkeypatch):
+    """Differential fuzz mixing SYNC failures (raised in the embed call)
+    with DEFERRED ones (raised at a drain): any schedule of up to one of
+    each, at random call indices, must leave the result identical to the
+    clean run — no poison survives, no row is lost."""
+    rng = np.random.default_rng(11)
+    queries, syn = tagged(10, 1000.0), tagged(37, 0.0)  # non-dividing
+    want_d, want_i = clean_result(queries, syn)
+    for _ in range(10):
+        sync_on = set(rng.integers(1, 40, size=1).tolist()) \
+            if rng.integers(0, 2) else set()
+        drain_on = set(rng.integers(1, 10, size=1).tolist())
+        embed = InjectingEmbed(fail_on_calls=sync_on)
+        monkeypatch.setattr(knn_mod, "_drain",
+                            DrainInjector(fail_on=drain_on))
+        d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                                   jnp.asarray(syn), s_block=8, q_block=4)
+        msg = f"sync={sorted(sync_on)} drain={sorted(drain_on)}"
+        np.testing.assert_array_equal(np.asarray(i), want_i, err_msg=msg)
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6,
+                                   err_msg=msg)
+
+
 def test_sticky_runtime_aborts_resume_immediately(eager_knn, monkeypatch):
     """When the free-fence itself cannot run (sticky runtime error state,
     observed on the tunneled v5e after a deferred async OOM), the halving
