@@ -398,6 +398,37 @@ def main() -> None:
     print(json.dumps(record))
 
 
+def _halve_cache(argv: list) -> list:
+    """Return argv with --cache_gb halved (floor 1) and the static
+    planner disabled, for OOM retries. Disabling the planner matters:
+    `ops/knn._auto_stream_plan` upgrades any smaller request back to
+    the one-sweep cache size (max(requested, need_one)), so a halved
+    budget alone would re-run the exact plan that just OOM'd.
+    Pure: unit-tested on CPU (tests/test_cli_config.py)."""
+    argv = list(argv)
+    halved = False
+    for i, a in enumerate(argv):
+        if a == "--cache_gb" and i + 1 < len(argv):
+            argv[i + 1] = str(max(1.0, float(argv[i + 1]) / 2))
+            halved = True
+            break
+        if a.startswith("--cache_gb="):
+            v = max(1.0, float(a.split("=", 1)[1]) / 2)
+            argv[i] = f"--cache_gb={v}"
+            halved = True
+            break
+    if not halved:
+        # half the RESOLVED default (resolve_defaults: 10 GB only for
+        # the full north-star default shapes, 8 GB otherwise)
+        explicit = any(a == f or a.startswith(f + "=")
+                       for a in argv for f in ("--n_q", "--n_syn"))
+        full_default = "--quick" not in argv and not explicit
+        argv += ["--cache_gb", "5.0" if full_default else "4.0"]
+    if "--no_auto_plan" not in argv:
+        argv.append("--no_auto_plan")
+    return argv
+
+
 if __name__ == "__main__":
     import os
     import subprocess
@@ -412,35 +443,6 @@ if __name__ == "__main__":
     # error-stamped JSON line; a successful one prints the real record
     # LAST, which is what artifact parsers read.
     env = dict(os.environ, GANLEAKS_BENCH_CHILD="1")
-
-    def _halve_cache(argv: list) -> list:
-        """Return argv with --cache_gb halved (floor 1) and the static
-        planner disabled, for OOM retries. Disabling the planner matters:
-        `ops/knn._auto_stream_plan` upgrades any smaller request back to
-        the one-sweep cache size (max(requested, need_one)), so a halved
-        budget alone would re-run the exact plan that just OOM'd."""
-        argv = list(argv)
-        halved = False
-        for i, a in enumerate(argv):
-            if a == "--cache_gb" and i + 1 < len(argv):
-                argv[i + 1] = str(max(1.0, float(argv[i + 1]) / 2))
-                halved = True
-                break
-            if a.startswith("--cache_gb="):
-                v = max(1.0, float(a.split("=", 1)[1]) / 2)
-                argv[i] = f"--cache_gb={v}"
-                halved = True
-                break
-        if not halved:
-            # half the RESOLVED default (resolve_defaults: 10 GB only for
-            # the full north-star default shapes, 8 GB otherwise)
-            explicit = any(a == f or a.startswith(f + "=")
-                           for a in argv for f in ("--n_q", "--n_syn"))
-            full_default = "--quick" not in argv and not explicit
-            argv += ["--cache_gb", "5.0" if full_default else "4.0"]
-        if "--no_auto_plan" not in argv:
-            argv.append("--no_auto_plan")
-        return argv
 
     argv = list(sys.argv)
     rc = 1

@@ -60,7 +60,7 @@ def test_every_cli_imports_and_parses_help():
         mod = importlib.import_module(f"ganleaks_tpu.cli.{m.name}")
         assert callable(getattr(mod, "main", None)), m.name
         mains.append(mod.main)
-    assert len(mains) == 13  # one per reference entry script + tabular fbb
+    assert len(mains) == 14  # reference entry scripts + tabular fbb + lpips_scores
     for main in mains:
         with pytest.raises(SystemExit) as exc:
             main(["--help"])
@@ -107,3 +107,44 @@ def test_bench_default_is_the_north_star():
         quick=False, n_q=None, n_syn=None, q_block=1024, s_block=512,
         cache_gb=4.0, store="float32", two_pass=False, dtype="bfloat16")
     assert out == (20000, 100000, 1024, 512, 4.0, "float32")
+
+
+def test_bench_partial_sizes_keep_pre_r3_shape():
+    """`--n_q 2000` alone must keep meaning 2000x20000 (the pre-r3 bench
+    shape), never a 5-10x hybrid with the north-star defaults."""
+    import bench
+
+    n_q, n_syn, *_ = bench.resolve_defaults(
+        quick=False, n_q=2000, n_syn=None, q_block=None, s_block=None,
+        cache_gb=None, store=None, two_pass=False, dtype="bfloat16")
+    assert (n_q, n_syn) == (2000, 20000)
+    n_q, n_syn, *_ = bench.resolve_defaults(
+        quick=False, n_q=None, n_syn=50000, q_block=None, s_block=None,
+        cache_gb=None, store=None, two_pass=False, dtype="bfloat16")
+    assert (n_q, n_syn) == (2000, 50000)
+
+
+def test_bench_halve_cache_retry_argv():
+    """The fresh-process OOM retry must actually shrink the plan: halve
+    (or inject half the RESOLVED default) --cache_gb AND disable the
+    static planner, which would otherwise re-upgrade the request to the
+    exact one-sweep size that just OOM'd."""
+    import bench
+
+    # explicit flag (split and = forms) halves with a floor of 1
+    out = bench._halve_cache(["bench.py", "--cache_gb", "8.0"])
+    assert out[out.index("--cache_gb") + 1] == "4.0"
+    assert "--no_auto_plan" in out
+    out = bench._halve_cache(["bench.py", "--cache_gb=1.5"])
+    assert "--cache_gb=1.0" in out
+    # no flag: half the RESOLVED default (10 for the full north star,
+    # 8 for explicit shapes / --quick)
+    out = bench._halve_cache(["bench.py"])
+    assert out[out.index("--cache_gb") + 1] == "5.0"
+    out = bench._halve_cache(["bench.py", "--n_q", "2000"])
+    assert out[out.index("--cache_gb") + 1] == "4.0"
+    out = bench._halve_cache(["bench.py", "--quick"])
+    assert out[out.index("--cache_gb") + 1] == "4.0"
+    # idempotent planner flag
+    out2 = bench._halve_cache(out)
+    assert out2.count("--no_auto_plan") == 1
