@@ -127,14 +127,21 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
         embed_hi = build_embed_fn(hi_cfg)
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77
-        syn = syn[:truncate_to_batches(len(syn), cfg.BATCH_SIZE)]
+        k = truncate_to_batches(len(syn), cfg.BATCH_SIZE)
+        syn = syn.limit(k) if hasattr(syn, "limit") else syn[:k]
 
-    syn_j = jnp.asarray(syn)
+    # host_stream (single-chip): keep the sets HOST-side; the streamed
+    # engines slice them per block so decode + host->device shipping
+    # overlap the device search, and neither set occupies HBM for the
+    # run (io/stream.HostImageSet; the planner charges host inputs 0).
+    # The mesh drivers place their own shardings — they take arrays.
+    host_side = cfg.host_stream and mesh is None
+    syn_j = syn if host_side else jnp.asarray(syn)
     cache_bytes = int(cfg.query_cache_gb * (1 << 30))
     meter = Throughput()
 
     def search(queries: np.ndarray):
-        q_j = jnp.asarray(queries)
+        q_j = queries if host_side else jnp.asarray(queries)
         if mesh is not None and cfg.shard_layout == "ring":
             # >HBM layout: both sets sharded, featurize-once, EMBEDDED
             # blocks rotate over ICI (parallel/knn_shard streamed ring);
@@ -290,7 +297,16 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         # (ops/distance.images_unit_range) — and quarters both the
         # host->device transfer and the image HBM residency
         dt = np.uint8 if sub_cfg.uint8_storage else np.float32
-        syn = load_image_dir_native(subdir, sub_cfg.resolution, dtype=dt)
+        if sub_cfg.host_stream and mesh is None:
+            # pipelined ingest: the generated set decodes lazily block
+            # by block WITH readahead inside the streamed search, so
+            # PNG decode + shipping overlap the device featurize/fold
+            # instead of serializing in front of it (io/stream)
+            from ganleaks_tpu.io.stream import HostImageSet
+            syn = HostImageSet(subdir, sub_cfg.resolution, dtype=dt)
+        else:
+            syn = load_image_dir_native(subdir, sub_cfg.resolution,
+                                        dtype=dt)
         pos = load_image_dir_native(sub_cfg.pos_data_dir,
                                     sub_cfg.resolution,
                                     dtype=dt)[:sub_cfg.data_num]

@@ -163,6 +163,18 @@ class AttackConfig:
                                    # featurize speed — what lets the
                                    # 100k x 20k attack coexist with the
                                    # full query cache on a 16 GB chip
+    host_stream: bool = False      # single-chip: keep the image sets
+                                   # HOST-side and decode/ship them block
+                                   # by block inside the streamed search
+                                   # (io/stream.HostImageSet) — PNG
+                                   # decode + host->device transfer
+                                   # overlap the device featurize/fold
+                                   # instead of preceding it, and the
+                                   # sets never occupy HBM. Trade-off:
+                                   # multi-chunk schedules re-ship the
+                                   # generated set once per chunk (the
+                                   # planner's freed residency usually
+                                   # buys the one-sweep schedule back)
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE
     n_chips: int = 1               # >1: shard the generated set over a mesh
     shard_layout: str = "sharded"  # 'sharded' (queries replicated) | 'ring'

@@ -68,22 +68,15 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
-def load_image_dir_native(data_dir: str, resolution: int = 64,
-                          ext: str = "png", limit: int | None = None,
-                          mode: int = MODE_EXACT,
-                          num_threads: int | None = None,
-                          dtype=np.float32) -> np.ndarray:
-    """Directory -> NHWC float32 in [-1, 1] via the C++ loader; per-image
-    PIL fallback keeps resize semantics identical for mismatched sizes.
+def load_image_paths_native(paths: list, resolution: int = 64,
+                            mode: int = MODE_EXACT,
+                            num_threads: int | None = None,
+                            dtype=np.float32) -> np.ndarray:
+    """Explicit path list -> NHWC array via the C++ loader; per-image PIL
+    fallback keeps resize semantics identical for mismatched sizes.
     ``dtype=np.uint8`` returns the original bytes (exact re-encode,
     ``io.images.unit_to_uint8_exact``) for lossless uint8 device
     residency."""
-    paths = get_filepaths_from_dir(data_dir, ext)
-    if limit is not None:
-        paths = paths[:limit]
-    if not paths:
-        raise FileNotFoundError(f"no *.{ext} files under {data_dir}")
-
     lib = _load_library()
     n = len(paths)
     out = np.empty((n, resolution, resolution, 3), np.float32)
@@ -115,6 +108,22 @@ def load_image_dir_native(data_dir: str, resolution: int = 64,
     for i in np.nonzero(status)[0]:
         out[i] = fallback_reader(paths[i], resolution)
     return finish(out)
+
+
+def load_image_dir_native(data_dir: str, resolution: int = 64,
+                          ext: str = "png", limit: int | None = None,
+                          mode: int = MODE_EXACT,
+                          num_threads: int | None = None,
+                          dtype=np.float32) -> np.ndarray:
+    """Directory -> NHWC float32 in [-1, 1] (:func:`load_image_paths_native`
+    over the sorted recursive glob)."""
+    paths = get_filepaths_from_dir(data_dir, ext)
+    if limit is not None:
+        paths = paths[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no *.{ext} files under {data_dir}")
+    return load_image_paths_native(paths, resolution, mode=mode,
+                                   num_threads=num_threads, dtype=dtype)
 
 
 def save_png_batch_native(images_u8: np.ndarray, paths: list,

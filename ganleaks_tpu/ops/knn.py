@@ -409,7 +409,12 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     padded = n_q + (-n_q) % q_block
     fold_bytes = padded * 8  # f32 best-distance + i32 argmin
     if resident_bytes is None:
-        resident_bytes = queries.nbytes + syn.nbytes
+        # HOST-backed inputs (numpy arrays, HostImageSet) are never
+        # device-resident: _block_norms slices them per block and each
+        # block ships transiently (2 in flight max, inside the overhead
+        # term's slack). Only jax arrays occupy HBM for the whole search.
+        resident_bytes = sum(int(x.nbytes) for x in (queries, syn)
+                             if isinstance(x, jax.Array))
     budget = int(hbm * 0.92) - resident_bytes - fold_bytes
     need_one = padded * row_bytes  # cache holding EVERY query row
     sb = s_block
@@ -1473,7 +1478,13 @@ def _rerank_candidates(embed_hi, queries: Array, syn, cand: np.ndarray, *,
     small blocks cost ~nothing while full-size ones put the f32 peak past
     a 16 GB chip at the default attack sizes (measured: 2000x20000
     two-pass OOMed unrecoverably)."""
-    sub = jnp.take(jnp.asarray(syn), jnp.asarray(cand), axis=0)
+    if isinstance(syn, jax.Array):
+        sub = jnp.take(syn, jnp.asarray(cand), axis=0)
+    else:
+        # host-backed set (numpy / io.stream.HostImageSet): gather the
+        # few candidate rows host-side — jnp.asarray(syn) would ship
+        # (and for a lazy set, decode) the ENTIRE generated set
+        sub = jnp.asarray(syn[np.asarray(cand)])
     d, i_sub = knn_argmin_streamed(
         embed_hi, queries, sub,
         engine="gemm" if engine != "exact" else engine,

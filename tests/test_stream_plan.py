@@ -18,8 +18,13 @@ ROW = 512 * 1024  # taps-int8 lane-padded row bytes at 64x64 (measured)
 
 
 def north_star_arrays():
-    q = np.zeros((20000, 64, 64, 3), np.uint8)
-    s = np.zeros((100000, 64, 64, 3), np.uint8)
+    """DEVICE-backed (the production default: attack_arrays jnp.asarray's
+    the sets) — the planner charges device arrays as resident and
+    host-backed ones as free (test_host_backed_inputs_charge_no_residency)."""
+    import jax.numpy as jnp
+
+    q = jnp.zeros((20000, 64, 64, 3), jnp.uint8)
+    s = jnp.zeros((100000, 64, 64, 3), jnp.uint8)
     return q, s
 
 
@@ -100,6 +105,25 @@ def test_cpu_backend_reports_unknown_hbm():
     """On the CPU test host the real _device_hbm_bytes must be None —
     the planner stays out of every CPU suite's exact block schedules."""
     assert knn_mod._device_hbm_bytes() is None
+
+
+def test_host_backed_inputs_charge_no_residency(v5e):
+    """numpy / HostImageSet inputs are sliced per block and shipped
+    transiently — they never occupy HBM for the whole search, so the
+    planner must not charge them as resident (a 4x-inflated synthetic
+    set would otherwise wrongly refuse the one-sweep schedule)."""
+    import jax.numpy as jnp
+
+    q = np.zeros((20000, 64, 64, 3), np.uint8)
+    s = np.zeros((400000, 64, 64, 3), np.uint8)  # 4.6 GiB if resident
+    host = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+                             cache_bytes=8 * GIB)
+    assert host[0] >= 20480 * ROW, "host-backed sets: one sweep fits"
+    dev = _auto_stream_plan(jnp.asarray(q[:1]), jnp.asarray(s[:64]), ROW,
+                            q_block=2048, s_block=2048,
+                            cache_bytes=8 * GIB,
+                            resident_bytes=q.nbytes + s.nbytes)
+    assert dev[0] < 20480 * ROW, "same sets device-resident: no one-sweep"
 
 
 def test_feat_rows_models_per_chip_featurize(v5e):
