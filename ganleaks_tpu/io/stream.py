@@ -31,8 +31,13 @@ class HostImageSet:
     driver: ``x[start:stop]`` (sequential block reads, with readahead),
     ``x[i]`` (single row, e.g. the viz NN gather) and ``x[index_array]``
     (the two-pass candidate gather). Every access returns a fresh decoded
-    ``np.ndarray`` — nothing is cached beyond the one prefetched window,
-    so holding a HostImageSet costs O(paths), not O(pixels).
+    ``np.ndarray``. With the default ``cache_decoded=True`` each row
+    decodes at most ONCE and is kept in host RAM (the full decoded set —
+    exactly what the eager loader would hold; multi-chunk schedules
+    re-sweep from RAM instead of re-decoding). ``cache_decoded=False``
+    drops that cache for sets larger than host memory: then only the one
+    prefetched window is held and the footprint is O(paths), at the cost
+    of re-decoding on every re-sweep.
     """
 
     def __init__(self, data_dir: str, resolution: int = 64,
@@ -118,17 +123,25 @@ class HostImageSet:
     def __getitem__(self, idx) -> np.ndarray:
         if isinstance(idx, slice):
             start, stop, step = idx.indices(len(self))
-            if step != 1:
-                return self._decode(0, len(self))[idx]
+            if step != 1:  # decode only the selected rows, not the set
+                return self[np.arange(start, stop, step)]
             if start >= stop:
                 return np.empty((0,) + self.shape[1:], self.dtype)
             return self._window(start, stop)
         if isinstance(idx, (int, np.integer)):
-            i = int(idx) % len(self)
-            return self._decode(i, i + 1)[0]
+            i = int(idx)
+            i0 = i + len(self) if i < 0 else i
+            if not 0 <= i0 < len(self):
+                raise IndexError(f"index {i} out of range for "
+                                 f"HostImageSet of length {len(self)}")
+            return self._decode(i0, i0 + 1)[0]
         rows = np.asarray(idx)
         if rows.ndim != 1:
             raise TypeError(f"HostImageSet: unsupported index {idx!r}")
+        rows = np.where(rows < 0, rows + len(self), rows)
+        if rows.size and (rows.min() < 0 or rows.max() >= len(self)):
+            raise IndexError(f"index out of range for HostImageSet of "
+                             f"length {len(self)}")
         out = np.empty((len(rows),) + self.shape[1:], self.dtype)
         order = np.argsort(rows, kind="stable")
         k = 0

@@ -23,7 +23,6 @@ strict parity against reference outputs is wanted.
 
 from __future__ import annotations
 
-import os
 from collections import deque
 from functools import partial
 

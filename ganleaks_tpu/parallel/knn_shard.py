@@ -441,7 +441,14 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 if q_block <= n_dev:
                     raise
                 q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
+                # fence BEFORE retrying (single-chip discipline): the
+                # failed attempt's in-flight blocks pin HBM until the
+                # queue drains, so an unfenced retry can OOM spuriously
+                # and cascade the halving to exhaustion
                 inflight.clear()
+                parts = rq_part = None  # noqa: F841
+                if not _free_fence():
+                    raise
                 print(f"[knn-mesh] query featurize OOM; q_block={q_block} "
                       f"(resuming at row {qs})")
                 continue
@@ -870,7 +877,12 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                 if q_block <= 1:
                     raise
                 q_block = max(1, q_block // 2)
+                # fence BEFORE retrying (single-chip discipline): the
+                # failed attempt's in-flight blocks pin HBM until the
+                # queue drains
                 inflight.clear()
+                if not _free_fence():
+                    raise
                 print(f"[knn-ring] query featurize OOM; q_block={q_block} "
                       f"(resuming at local row {qs})")
                 continue

@@ -153,3 +153,32 @@ def test_run_attack_host_stream_e2e(png_dir, tmp_path):
     out = run_attack(cfg)
     assert len(out) == 1 and "pos_loss" in out[0]
     np.testing.assert_allclose(out[0]["pos_loss"], out[0]["neg_loss"])
+
+
+def test_indexing_errors_like_ndarray(png_dir):
+    lazy = HostImageSet(png_dir, 16)
+    eager = load_image_dir_native(png_dir, 16, dtype=np.uint8)
+    np.testing.assert_array_equal(lazy[-1], eager[-1])
+    np.testing.assert_array_equal(lazy[np.asarray([4, -1, -12])],
+                                  eager[[4, -1, -12]])
+    with pytest.raises(IndexError):
+        _ = lazy[12]
+    with pytest.raises(IndexError):
+        _ = lazy[np.asarray([0, 12])]
+    with pytest.raises(IndexError):
+        _ = lazy[-13]
+
+
+def test_strided_slice_decodes_only_selected_rows(png_dir, monkeypatch):
+    decoded = []
+    orig = stream_mod.load_image_paths_native
+
+    def counting(paths, *a, **kw):
+        decoded.append(len(paths))
+        return orig(paths, *a, **kw)
+
+    monkeypatch.setattr(stream_mod, "load_image_paths_native", counting)
+    lazy = HostImageSet(png_dir, 16, readahead=False)
+    eager = load_image_dir_native(png_dir, 16, dtype=np.uint8)
+    np.testing.assert_array_equal(lazy[::5], eager[::5])
+    assert sum(decoded) == 3, "decoded only the 3 selected rows"
