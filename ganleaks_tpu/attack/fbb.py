@@ -95,6 +95,23 @@ def resolve_auto_engine(cfg: AttackConfig) -> AttackConfig:
     return replace(cfg, engine="gemm")
 
 
+def host_stream_enabled(cfg: AttackConfig, mesh=None) -> bool:
+    """Resolve ``cfg.host_stream``. 'auto' (the default) turns the
+    pipelined host ingest on exactly where it measured strictly better
+    (docs/PERF.md "Real-data end-to-end"): single-chip runs with uint8
+    storage. A mesh places its own device shardings, and f32 storage
+    would pay 4x the bytes on every per-chunk re-ship."""
+    if mesh is not None or cfg.n_chips > 1 or cfg.multihost:
+        return False
+    hs = cfg.host_stream
+    if isinstance(hs, str):
+        if hs.strip().lower() == "auto":
+            return bool(cfg.uint8_storage)
+        raise ValueError(f"host_stream must be true/false/'auto', "
+                         f"got {hs!r}")
+    return bool(hs)
+
+
 def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                   neg: np.ndarray, mesh=None,
                   logger: MetricsLogger | None = None) -> dict:
@@ -135,7 +152,7 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     # overlap the device search, and neither set occupies HBM for the
     # run (io/stream.HostImageSet; the planner charges host inputs 0).
     # The mesh drivers place their own shardings — they take arrays.
-    host_side = cfg.host_stream and mesh is None
+    host_side = host_stream_enabled(cfg, mesh)
     syn_j = syn if host_side else jnp.asarray(syn)
     cache_bytes = int(cfg.query_cache_gb * (1 << 30))
     meter = Throughput()
@@ -297,7 +314,7 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         # (ops/distance.images_unit_range) — and quarters both the
         # host->device transfer and the image HBM residency
         dt = np.uint8 if sub_cfg.uint8_storage else np.float32
-        if sub_cfg.host_stream and mesh is None:
+        if host_stream_enabled(sub_cfg, mesh):
             # pipelined ingest: the generated set decodes lazily block
             # by block WITH readahead inside the streamed search, so
             # PNG decode + shipping overlap the device featurize/fold

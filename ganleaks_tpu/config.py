@@ -163,18 +163,23 @@ class AttackConfig:
                                    # featurize speed — what lets the
                                    # 100k x 20k attack coexist with the
                                    # full query cache on a 16 GB chip
-    host_stream: bool = False      # single-chip: keep the image sets
-                                   # HOST-side and decode/ship them block
-                                   # by block inside the streamed search
-                                   # (io/stream.HostImageSet) — PNG
-                                   # decode + host->device transfer
-                                   # overlap the device featurize/fold
-                                   # instead of preceding it, and the
-                                   # sets never occupy HBM. Trade-off:
-                                   # multi-chunk schedules re-ship the
-                                   # generated set once per chunk (the
-                                   # planner's freed residency usually
-                                   # buys the one-sweep schedule back)
+    host_stream: bool | str = "auto"  # keep the image sets HOST-side and
+                                   # decode/ship them block by block
+                                   # inside the streamed search
+                                   # (io/stream.HostImageSet): PNG decode
+                                   # + host->device transfer overlap the
+                                   # device featurize/fold instead of
+                                   # preceding it, decoded rows cache in
+                                   # host RAM, and the sets never occupy
+                                   # HBM (measured 136-159 s vs
+                                   # 168-440 s e2e at 20k x 100k —
+                                   # docs/PERF.md). 'auto' (default):
+                                   # on for single-chip uint8-storage
+                                   # runs, where it strictly dominates;
+                                   # off on a mesh (the shard layouts
+                                   # place their own device arrays) and
+                                   # for f32 storage (4x the per-chunk
+                                   # re-ship bytes). true/false pins it.
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE
     n_chips: int = 1               # >1: shard the generated set over a mesh
     shard_layout: str = "sharded"  # 'sharded' (queries replicated) | 'ring'

@@ -182,3 +182,18 @@ def test_strided_slice_decodes_only_selected_rows(png_dir, monkeypatch):
     eager = load_image_dir_native(png_dir, 16, dtype=np.uint8)
     np.testing.assert_array_equal(lazy[::5], eager[::5])
     assert sum(decoded) == 3, "decoded only the 3 selected rows"
+
+
+def test_host_stream_auto_resolution():
+    from ganleaks_tpu.attack.fbb import host_stream_enabled
+    from ganleaks_tpu.config import AttackConfig
+
+    assert host_stream_enabled(AttackConfig())  # auto + uint8 single-chip
+    assert not host_stream_enabled(AttackConfig(uint8_storage=False))
+    assert not host_stream_enabled(AttackConfig(n_chips=8))
+    assert not host_stream_enabled(AttackConfig(), mesh=object())
+    assert host_stream_enabled(AttackConfig(host_stream=True,
+                                            uint8_storage=False))
+    assert not host_stream_enabled(AttackConfig(host_stream=False))
+    with pytest.raises(ValueError, match="host_stream"):
+        host_stream_enabled(AttackConfig(host_stream="sometimes"))
