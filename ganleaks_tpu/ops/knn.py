@@ -401,8 +401,17 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     if feat_rows is None:
         feat_rows = q_block
 
+    # stream charge: _SYNC_WINDOW undrained blocks. The 2x multiplier is
+    # chip-calibrated on the int8/bf16 production rows; f32 streams
+    # (2 MB/row at 64x64 — 4 GB per 2048-block) measured an OOM at a
+    # boundary this model accepted (2026-08-18, engine='exact': XLA fold
+    # temps on the fat blocks ate the margin), so wide-dtype rows charge
+    # one extra in-flight block
+    stream_blocks = 2 if row_bytes <= (1 << 20) else 3
+
     def overhead(sb: int) -> int:
-        return 2 * sb * row_bytes + max(feat_rows, sb) * act_per_row
+        return (stream_blocks * sb * row_bytes
+                + max(feat_rows, sb) * act_per_row)
 
     n_q = queries.shape[0]
     padded = n_q + (-n_q) % q_block

@@ -107,6 +107,24 @@ def test_cpu_backend_reports_unknown_hbm():
     assert knn_mod._device_hbm_bytes() is None
 
 
+def test_wide_f32_rows_charge_extra_stream_block(v5e):
+    """f32 streams (2 MB/row at 64x64) measured an OOM at a boundary the
+    2-block charge accepted (engine='exact', 2026-08-18): XLA fold temps
+    on the fat blocks ate the margin. Rows wider than 1 MB charge one
+    extra in-flight block; the int8/bf16 calibration keeps 2."""
+    import jax.numpy as jnp
+
+    q = jnp.zeros((2048, 64, 64, 3), jnp.uint8)
+    s = jnp.zeros((100000, 64, 64, 3), jnp.uint8)
+    row_f32 = 2 << 20
+    # budget ~14.5 GiB; need_one = 2048 * 2 MiB = 4 GiB, act = 2 GiB.
+    # 2 blocks @ sb=2048: 4+2+8 = 14.0 <= budget (old model accepted);
+    # 3 blocks: 4+2+12 = 18 > budget -> must walk sb down
+    cache, sb = _auto_stream_plan(q, s, row_f32, q_block=2048,
+                                  s_block=2048, cache_bytes=4 * GIB)
+    assert sb < 2048, "wide rows must not keep the 2-block-optimistic sb"
+
+
 def test_host_backed_inputs_charge_no_residency(v5e):
     """numpy / HostImageSet inputs are sliced per block and shipped
     transiently — they never occupy HBM for the whole search, so the
