@@ -351,7 +351,8 @@ def _device_hbm_bytes() -> int | None:
 def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
                       q_block: int, s_block: int, cache_bytes: int,
                       resident_bytes: int | None = None,
-                      feat_rows: int | None = None
+                      feat_rows: int | None = None,
+                      act_itemsize: int = 2
                       ) -> tuple[int, int]:
     """Projection-driven (cache_bytes, s_block) adjustment for the
     streamed search. Uses the same static accounting as
@@ -393,8 +394,14 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     hbm = _device_hbm_bytes()
     if hbm is None:
         return cache_bytes, s_block
-    if queries.ndim == 4:  # images: widest VGG activation, bf16, x2 overlap
-        act_per_row = queries.shape[1] * queries.shape[2] * 64 * 2 * 2
+    if queries.ndim == 4:
+        # images: widest VGG activation x2 overlap, at the tower's
+        # element size (act_itemsize: 2 for the bf16 production tower —
+        # the chip-calibrated default — 4 for f32-parity towers, whose
+        # activations measured an OOM the bf16-assumed charge accepted:
+        # engine='gemm' dtype=float32 at 2000x20000, 2026-08-18)
+        act_per_row = (queries.shape[1] * queries.shape[2] * 64 * 2
+                       * act_itemsize)
     else:  # tabular: embed output rows, f32, x2 overlap
         act_per_row = int(np.prod(queries.shape[1:])) * 4 * 2
 
@@ -530,7 +537,8 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
     # fits, cap over-ambitious caches before they OOM at allocation
     query_cache_bytes, s_block = _auto_stream_plan(
         queries, syn, row_bytes, q_block=q_block, s_block=s_block,
-        cache_bytes=query_cache_bytes)
+        cache_bytes=query_cache_bytes,
+        act_itemsize=max(2, jnp.dtype(probe[0].dtype).itemsize))
     # chunk_rows rounds DOWN to a q_block multiple: full-size featurize
     # blocks tile the chunk exactly, so padded tails only appear at n_q
     chunk_rows = max(q_block,
@@ -773,6 +781,12 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
         raise ValueError(f"unknown kNN engine {engine!r}; the flat search "
                          "supports 'gemm'/'pallas'/'exact' ('taps' is "
                          "knn_argmin_streamed_parts)")
+    if pallas:
+        # the fused kernel iterates (2048, 2048) tiles internally, so a
+        # bigger stream block buys nothing — and its operand-layout
+        # copies sit OUTSIDE the planner's model (s_block=4096 measured
+        # a chip OOM at a boundary the model accepted, 2026-08-18)
+        s_block = min(s_block, 2048)
     n_q, n_s = queries.shape[0], syn.shape[0]
     q_block = min(q_block, n_q)
     s_block = min(s_block, n_s)
@@ -1379,6 +1393,7 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
     use_pallas = engine == "pallas"
     if use_pallas:
         engine = "gemm"  # same distance math
+        s_block = min(s_block, 2048)  # kernel tile bound (see argmin)
     if engine not in ("gemm", "exact"):
         raise ValueError(f"unknown kNN engine {engine!r}; the flat top-k "
                          "supports 'gemm'/'pallas'/'exact' ('taps' is "

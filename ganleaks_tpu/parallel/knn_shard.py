@@ -366,7 +366,8 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         cache_bytes=query_cache_bytes,
         resident_bytes=(syn_flat.nbytes // n_dev
                         + (q_block // n_dev) * img_row),
-        feat_rows=q_block // n_dev)
+        feat_rows=q_block // n_dev,
+        act_itemsize=max(2, jnp.dtype(probe[0].dtype).itemsize))
     chunk_rows = max(q_block,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)
