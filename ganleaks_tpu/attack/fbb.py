@@ -308,28 +308,38 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
                         "dtype": sub_cfg.dtype})
 
         from ganleaks_tpu.io.native import load_image_dir_native
+        from ganleaks_tpu.io.npz import (load_npz_images,
+                                         resolve_input_format)
 
         # uint8 storage (default) is lossless — the dequant LUT
         # reproduces the float pipeline bit-exactly
         # (ops/distance.images_unit_range) — and quarters both the
         # host->device transfer and the image HBM residency
         dt = np.uint8 if sub_cfg.uint8_storage else np.float32
-        if host_stream_enabled(sub_cfg, mesh):
-            # pipelined ingest: the generated set decodes lazily block
-            # by block WITH readahead inside the streamed search, so
-            # PNG decode + shipping overlap the device featurize/fold
-            # instead of serializing in front of it (io/stream)
-            from ganleaks_tpu.io.stream import HostImageSet
-            syn = HostImageSet(subdir, sub_cfg.resolution, dtype=dt)
-        else:
-            syn = load_image_dir_native(subdir, sub_cfg.resolution,
+
+        def _load(path, limit=None, streamable=False):
+            # per-path format resolution: the reference dumps each
+            # synthetic set both as a PNG dir and an NPZ array
+            # (train_torch.py:160-165); ingesting the NPZ skips the
+            # host decode entirely (io/npz docstring, bit-identical)
+            if resolve_input_format(path, sub_cfg.input_format) == "npz":
+                return load_npz_images(path, sub_cfg.resolution,
+                                       limit=limit, dtype=dt)
+            if streamable and host_stream_enabled(sub_cfg, mesh):
+                # pipelined ingest: the generated set decodes lazily
+                # block by block WITH readahead inside the streamed
+                # search, so PNG decode + shipping overlap the device
+                # featurize/fold instead of serializing in front of it
+                # (io/stream)
+                from ganleaks_tpu.io.stream import HostImageSet
+                return HostImageSet(path, sub_cfg.resolution, dtype=dt)
+            arr = load_image_dir_native(path, sub_cfg.resolution,
                                         dtype=dt)
-        pos = load_image_dir_native(sub_cfg.pos_data_dir,
-                                    sub_cfg.resolution,
-                                    dtype=dt)[:sub_cfg.data_num]
-        neg = load_image_dir_native(sub_cfg.neg_data_dir,
-                                    sub_cfg.resolution,
-                                    dtype=dt)[:sub_cfg.data_num]
+            return arr[:limit] if limit is not None else arr
+
+        syn = _load(subdir, streamable=True)
+        pos = _load(sub_cfg.pos_data_dir, limit=sub_cfg.data_num)
+        neg = _load(sub_cfg.neg_data_dir, limit=sub_cfg.data_num)
 
         out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh, logger=logger)
 

@@ -115,6 +115,19 @@ class AttackConfig:
     pos_data_dir: str = "data/miniCelebA/train"
     neg_data_dir: str = "data/miniCelebA/test"
     data_num: int = 20000          # number of query images considered
+    input_format: str = "auto"     # 'png' | 'npz' | 'auto' per image-set
+                                   # path: the reference dumps every
+                                   # synthetic set BOTH as a PNG dir and
+                                   # as an NPZ array (npz_images/,
+                                   # train_torch.py:160-165) but only
+                                   # ever attacks the PNGs; ingesting
+                                   # the NPZ skips the host decode that
+                                   # dominates real-data wall clock
+                                   # (io/npz.py — bit-identical scores
+                                   # by floor-quantizing exactly as
+                                   # ToPILImage did when writing the
+                                   # PNGs). 'auto' picks npz only for
+                                   # .npz paths / PNG-free dirs
     resolution: int = 64
     K: int = 1                     # reference config K=1; its --K is unused (always 1-NN)
     BATCH_SIZE: int = 64           # reference kNN batch (only used in strict-parity mode)

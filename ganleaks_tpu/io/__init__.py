@@ -7,6 +7,11 @@ from ganleaks_tpu.io.images import (  # noqa: F401
     save_png,
     to_uint8,
 )
+from ganleaks_tpu.io.npz import (  # noqa: F401
+    find_npz_files,
+    load_npz_images,
+    resolve_input_format,
+)
 from ganleaks_tpu.io.artifacts import (  # noqa: F401
     check_folder,
     dump_params,

@@ -1,0 +1,177 @@
+"""NPZ ingest (io/npz.py): bit-parity with the PNG path, layout/key
+handling, and the attack driver's format auto-resolution.
+
+The reference dumps every synthetic set twice — PNG dir + NPZ array
+(``gan_models/dcgan/train_torch.py:160-165``, ``pggan/train.py:251-253``,
+``vaegan/sample.py:57-59``) — but its attack only ever reads the PNGs.
+These tests pin the contract that ingesting the NPZ is indistinguishable
+from reading the PNGs the same floats produced."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ganleaks_tpu.io.images import load_image_dir, save_png
+from ganleaks_tpu.io.native import load_image_dir_native
+from ganleaks_tpu.io.npz import (find_npz_files, load_npz_images,
+                                 resolve_input_format)
+
+
+def _write_both(tmp_path, floats01_nchw, key="fake", sub="run"):
+    """One fixture in the reference's dual-dump layout: the floats as an
+    NPZ under npz_images/ and their floor-quantized PNGs under
+    png_images/ (exactly what train_torch.py:155-165 writes)."""
+    npz_dir = tmp_path / "npz_images" / sub
+    png_dir = tmp_path / "png_images" / sub
+    os.makedirs(npz_dir)
+    os.makedirs(png_dir)
+    np.savez(npz_dir / "dump.npz", **{key: floats01_nchw})
+    nhwc = np.transpose(floats01_nchw, (0, 2, 3, 1))
+    for i, img in enumerate(nhwc):
+        save_png(img, str(png_dir / f"img_{i:04d}.png"))  # floor, [0,1]
+    return str(npz_dir / "dump.npz"), str(png_dir)
+
+
+def test_bit_parity_with_png_dir(tmp_path, rng):
+    floats = rng.uniform(0, 1, (7, 16, 16, 3)).astype(np.float32)
+    npz_path, png_dir = _write_both(
+        tmp_path, np.transpose(floats, (0, 3, 1, 2)))
+    from_png = load_image_dir(png_dir, resolution=16)
+    from_npz = load_npz_images(npz_path, resolution=16)
+    np.testing.assert_array_equal(from_npz, from_png.astype(np.float32))
+    # uint8 storage path: raw bytes identical too
+    u8_png = load_image_dir_native(png_dir, 16, dtype=np.uint8)
+    u8_npz = load_npz_images(npz_path, 16, dtype=np.uint8)
+    np.testing.assert_array_equal(u8_npz, u8_png)
+
+
+def test_resize_parity_with_png_dir(tmp_path, rng):
+    # stored at 16, attacked at 8 -> both paths go through PIL's default
+    # resize on the same uint8 bytes (attack_models/utils.py:79)
+    floats = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    npz_path, png_dir = _write_both(
+        tmp_path, np.transpose(floats, (0, 3, 1, 2)))
+    np.testing.assert_array_equal(
+        load_npz_images(npz_path, resolution=8),
+        load_image_dir(png_dir, resolution=8).astype(np.float32))
+
+
+def test_vaegan_nhwc_key(tmp_path, rng):
+    # vaegan/sample.py:57-59 writes key 'img_r01' already NHWC
+    arr = rng.uniform(0, 1, (4, 12, 12, 3)).astype(np.float32)
+    p = tmp_path / "generated.npz"
+    np.savez(p, img_r01=arr)
+    out = load_npz_images(str(p), resolution=12)
+    expect = 2.0 * ((np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                    .astype(np.float64) / 255.0) - 1.0
+    np.testing.assert_array_equal(out, expect.astype(np.float32))
+
+
+def test_grayscale_broadcasts_like_L_mode_png(tmp_path, rng):
+    arr = rng.uniform(0, 1, (3, 1, 10, 10)).astype(np.float32)  # NCHW, 1ch
+    p = tmp_path / "g.npz"
+    np.savez(p, fake=arr)
+    out = load_npz_images(str(p), resolution=10)
+    assert out.shape == (3, 10, 10, 3)
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    np.testing.assert_array_equal(out[..., 0], out[..., 2])
+
+
+def test_uint8_input_passthrough(tmp_path, rng):
+    u8 = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    p = tmp_path / "u.npz"
+    np.savez(p, images=u8)
+    np.testing.assert_array_equal(
+        load_npz_images(str(p), 8, dtype=np.uint8), u8)
+
+
+def test_quantize_false_keeps_floats(tmp_path, rng):
+    arr = rng.uniform(0, 1, (4, 3, 8, 8)).astype(np.float32)
+    p = tmp_path / "f.npz"
+    np.savez(p, fake=arr)
+    out = load_npz_images(str(p), 8, quantize=False)
+    np.testing.assert_allclose(
+        out, 2.0 * np.transpose(arr, (0, 2, 3, 1)) - 1.0, rtol=1e-6)
+    with pytest.raises(ValueError, match="float output"):
+        load_npz_images(str(p), 8, dtype=np.uint8, quantize=False)
+
+
+def test_multi_file_sorted_concat_and_limit(tmp_path, rng):
+    d = tmp_path / "runs"
+    for name in ("b", "a"):  # written out of order; ingest sorts
+        os.makedirs(d / name)
+        np.savez(d / name / "x.npz",
+                 fake=np.full((2, 3, 4, 4), 0.25 if name == "a" else 0.75,
+                              np.float32))
+    assert len(find_npz_files(str(d))) == 2
+    out = load_npz_images(str(d), 4, limit=3)
+    assert out.shape[0] == 3
+    # sorted order: the 'a' dir's two images come first
+    lo = 2.0 * (int(0.25 * 255) / 255.0) - 1.0
+    np.testing.assert_allclose(out[0], np.full((4, 4, 3), lo), atol=1e-6)
+
+
+def test_bad_inputs(tmp_path):
+    p = tmp_path / "bad.npz"
+    np.savez(p, foo=np.zeros((2, 2)), bar=np.zeros((3, 3)))
+    with pytest.raises(ValueError, match="no image array"):
+        load_npz_images(str(p), 4)
+    p2 = tmp_path / "neg.npz"
+    np.savez(p2, fake=np.full((1, 3, 4, 4), -0.5, np.float32))
+    with pytest.raises(ValueError, match="below 0"):
+        load_npz_images(str(p2), 4)
+    with pytest.raises(FileNotFoundError):
+        load_npz_images(str(tmp_path / "empty_dir_nope"), 4)
+
+
+def test_resolve_input_format(tmp_path, rng):
+    floats = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    npz_path, png_dir = _write_both(
+        tmp_path, np.transpose(floats, (0, 3, 1, 2)))
+    assert resolve_input_format(npz_path) == "npz"
+    assert resolve_input_format(os.path.dirname(npz_path)) == "npz"
+    assert resolve_input_format(png_dir) == "png"
+    # mixed dir (PNGs present) stays on the PNG path under 'auto'
+    assert resolve_input_format(str(tmp_path)) == "png"
+    assert resolve_input_format(str(tmp_path), "npz") == "npz"
+    with pytest.raises(ValueError, match="auto/png/npz"):
+        resolve_input_format(png_dir, "tiff")
+
+
+def test_attack_on_npz_equals_attack_on_png(tmp_path, rng):
+    """E2E through run_attack: the NPZ-ingested synthetic set produces
+    byte-identical scores and NN indices to the PNG dir (the driver's
+    'auto' picks npz for the npz_images dir on its own)."""
+    from ganleaks_tpu.attack.fbb import run_attack
+    from ganleaks_tpu.config import AttackConfig
+
+    syn = rng.uniform(0, 1, (10, 8, 8, 3)).astype(np.float32)
+    npz_path, png_dir = _write_both(tmp_path,
+                                    np.transpose(syn, (0, 3, 1, 2)))
+    pos_dir = tmp_path / "pos"
+    neg_dir = tmp_path / "neg"
+    os.makedirs(pos_dir)
+    os.makedirs(neg_dir)
+    for i in range(4):
+        save_png(np.clip(syn[i] + rng.normal(0, .05, syn[i].shape), 0, 1),
+                 str(pos_dir / f"p{i}.png"))
+        save_png(rng.uniform(0, 1, (8, 8, 3)),
+                 str(neg_dir / f"n{i}.png"))
+
+    def run(syn_path):
+        cfg = AttackConfig(
+            exp_name="npz_parity", syn_data_path=syn_path,
+            pos_data_dir=str(pos_dir), neg_data_dir=str(neg_dir),
+            data_num=4, resolution=8, distance="l2", engine="gemm",
+            save_root=str(tmp_path / "out" / os.path.basename(syn_path)),
+            query_block=4, syn_block=8, save_plots=False,
+            host_stream=False)
+        return run_attack(cfg)[0]
+
+    a = run(os.path.dirname(npz_path))
+    b = run(png_dir)
+    np.testing.assert_array_equal(a["pos_loss"], b["pos_loss"])
+    np.testing.assert_array_equal(a["neg_loss"], b["neg_loss"])
+    np.testing.assert_array_equal(a["pos_nn_idx"], b["pos_nn_idx"])
+    np.testing.assert_array_equal(a["neg_nn_idx"], b["neg_nn_idx"])
