@@ -97,7 +97,7 @@ def _resize_uint8(u8: np.ndarray, resolution: int) -> np.ndarray:
     return out
 
 
-def load_npz_images(path: str, resolution: int = 64,
+def load_npz_images(path: str, resolution: int | None = 64,
                     limit: int | None = None, dtype=np.float32,
                     quantize: bool = True) -> np.ndarray:
     """Load the reference's NPZ synthetic dumps as one NHWC image set.
@@ -108,7 +108,10 @@ def load_npz_images(path: str, resolution: int = 64,
     arrays broadcast to 3 channels like PIL's RGB conversion of an
     ``L``-mode PNG. ``quantize=False`` skips the uint8 round-trip and
     returns ``2*x - 1`` of the stored floats (float output only; no
-    PNG-parity claim, and native-resolution inputs only)."""
+    PNG-parity claim, and native-resolution inputs only).
+    ``resolution=None`` keeps each file's native size (the FID path's
+    convention — ``ops/fid.fid_from_paths`` feeds native-size images,
+    ``z_fid.py:293-298``)."""
     files = find_npz_files(path)
     if not files:
         raise FileNotFoundError(f"no *.npz files under {path}")
@@ -130,7 +133,7 @@ def load_npz_images(path: str, resolution: int = 64,
             if not quantize:
                 if np.dtype(dtype) == np.uint8:
                     raise ValueError("quantize=False requires float output")
-                if arr.shape[1] != resolution:
+                if resolution is not None and arr.shape[1] != resolution:
                     raise ValueError(
                         "quantize=False supports native-resolution input "
                         f"only, got {arr.shape[1]} vs {resolution}")
@@ -144,7 +147,8 @@ def load_npz_images(path: str, resolution: int = 64,
             u8 = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
         if u8.shape[3] == 1:
             u8 = np.broadcast_to(u8, u8.shape[:3] + (3,)).copy()
-        if u8.shape[1] != resolution or u8.shape[2] != resolution:
+        if resolution is not None and (u8.shape[1] != resolution
+                                       or u8.shape[2] != resolution):
             u8 = _resize_uint8(u8, resolution)
         if np.dtype(dtype) == np.uint8:
             parts.append(u8)

@@ -159,7 +159,17 @@ def _tr_sqrt_product(sigma1: np.ndarray, sigma2: np.ndarray,
         root = sqrtm_eigh(inner)
     else:
         raise ValueError(f"unknown sqrtm method {method!r}")
-    return float(jnp.trace(root))
+    tr = float(jnp.trace(root))
+    if not np.isfinite(tr):
+        # Newton-Schulz diverges on strongly rank-deficient products
+        # (n_samples << 2048 features). The reference's only sqrtm is
+        # scipy-with-eps-retry (z_fid.py:141-149), so every input it
+        # survives must stay finite here too — fall back to that path
+        # rather than return nan.
+        warnings.warn(f"{method} sqrtm produced a non-finite trace; "
+                      "falling back to the scipy path")
+        return _tr_sqrt_product(sigma1, sigma2, "scipy", eps)
+    return tr
 
 
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6,
@@ -197,22 +207,39 @@ def fid_from_image_sets(params: dict, images1: np.ndarray,
 def fid_from_paths(params: dict, path1: str, path2: str,
                    batch_size: int = 50,
                    method: str = "newton-schulz", mesh=None) -> float:
-    """Path flavor: each arg is an image dir (jpg+png) or a precomputed
-    ``.npz`` with mu/sigma (``z_fid.py:286-300``)."""
+    """Path flavor: each arg is an image dir (jpg+png), a precomputed
+    ``.npz`` with mu/sigma (``z_fid.py:286-300``), or one of the
+    reference's NPZ image dumps (``npz_images/``/``generated.npz`` —
+    keys ``fake``/``img_r01``; the reference re-decodes the PNG dir it
+    wrote from the same arrays). Image NPZs are floor-quantized to the
+    PNG bytes (``io/npz.py``) so the FID matches the PNG-dir path."""
     stats = []
     for p in (path1, path2):
+        precomputed = None
         if p.endswith(".npz"):
-            f = np.load(p)
-            stats.append((f["mu"][:], f["sigma"][:]))
+            with np.load(p) as f:
+                if "mu" in f.files:
+                    precomputed = (f["mu"][:], f["sigma"][:])
+        if precomputed is not None:
+            stats.append(precomputed)
         else:
-            import pathlib
+            from ganleaks_tpu.io.npz import (load_npz_images,
+                                             resolve_input_format)
 
-            files = (list(pathlib.Path(p).glob("*.jpg"))
-                     + list(pathlib.Path(p).glob("*.png")))
-            import PIL.Image
+            if resolve_input_format(p) == "npz":
+                # native-size bytes, 0-255 float32 like the PIL branch
+                imgs = load_npz_images(p, resolution=None,
+                                       dtype=np.uint8).astype(np.float32)
+            else:
+                import pathlib
 
-            imgs = np.array([np.asarray(PIL.Image.open(str(fn)),
-                                        dtype=np.float32) for fn in files])
+                files = (list(pathlib.Path(p).glob("*.jpg"))
+                         + list(pathlib.Path(p).glob("*.png")))
+                import PIL.Image
+
+                imgs = np.array([np.asarray(PIL.Image.open(str(fn)),
+                                            dtype=np.float32)
+                                 for fn in files])
             stats.append(activation_statistics(
                 get_activations(params, imgs, batch_size, mesh=mesh)))
     (m1, s1), (m2, s2) = stats

@@ -139,6 +139,56 @@ def test_resolve_input_format(tmp_path, rng):
         resolve_input_format(png_dir, "tiff")
 
 
+def test_fid_from_paths_npz_equals_png_dir(tmp_path, rng):
+    """fid_from_paths accepts the reference's NPZ image dumps and scores
+    them identically to the PNG dir written from the same floats
+    (mu/sigma stats NPZs keep their existing meaning)."""
+    from ganleaks_tpu.ops import fid as fid_ops
+
+    params = fid_ops.init_inception_params(seed=0)
+    a = rng.uniform(0, 1, (6, 3, 32, 32)).astype(np.float32)
+    b = rng.uniform(0, 1, (6, 3, 32, 32)).astype(np.float32)
+    npz_a, png_a = _write_both(tmp_path, a, sub="a")
+    npz_b, png_b = _write_both(tmp_path, b, sub="b")
+    v_png = fid_ops.fid_from_paths(params, png_a, png_b, batch_size=3,
+                                   method="scipy")
+    v_npz = fid_ops.fid_from_paths(params, npz_a, npz_b, batch_size=3,
+                                   method="scipy")
+    assert np.isclose(v_png, v_npz, rtol=1e-5)
+    # stats-NPZ convention unchanged: precomputed mu/sigma round-trips
+    acts = fid_ops.get_activations(
+        params,
+        load_npz_images(npz_a, resolution=None,
+                        dtype=np.uint8).astype(np.float32),
+        batch_size=3)
+    mu, sigma = fid_ops.activation_statistics(acts)
+    sp = tmp_path / "stats.npz"
+    np.savez(sp, mu=mu, sigma=sigma)
+    v_stats = fid_ops.fid_from_paths(params, str(sp), npz_b, batch_size=3,
+                                     method="scipy")
+    assert np.isclose(v_stats, v_npz, rtol=1e-5)
+
+
+def test_rank_deficient_fid_finite_via_scipy_fallback(rng):
+    """Newton-Schulz diverges (nan) on rank-deficient covariance
+    products (few samples x 2048 features); _tr_sqrt_product must fall
+    back to the reference's scipy-with-eps-retry path instead of
+    returning nan (z_fid.py:141-149 never returns nan)."""
+    from ganleaks_tpu.ops import fid as fid_ops
+
+    acts1 = rng.normal(size=(8, 64)).astype(np.float64)
+    acts2 = rng.normal(size=(8, 64)).astype(np.float64)
+    m1, s1 = fid_ops.activation_statistics(acts1)
+    m2, s2 = fid_ops.activation_statistics(acts2)
+    with np.testing.suppress_warnings() as sup:
+        sup.filter(UserWarning)
+        v_ns = fid_ops.frechet_distance(m1, s1, m2, s2,
+                                        method="newton-schulz")
+        v_sp = fid_ops.frechet_distance(m1, s1, m2, s2, method="scipy")
+    assert np.isfinite(v_ns)
+    np.testing.assert_allclose(v_ns, v_sp, rtol=1e-4)
+
+
 def test_attack_on_npz_equals_attack_on_png(tmp_path, rng):
     """E2E through run_attack: the NPZ-ingested synthetic set produces
     byte-identical scores and NN indices to the PNG dir (the driver's
