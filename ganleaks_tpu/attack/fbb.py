@@ -330,12 +330,15 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
                 # block by block WITH readahead inside the streamed
                 # search, so PNG decode + shipping overlap the device
                 # featurize/fold instead of serializing in front of it
-                # (io/stream)
+                # (io/stream); decoded rows persist across runs via the
+                # disk cache (io/diskcache)
                 from ganleaks_tpu.io.stream import HostImageSet
-                return HostImageSet(path, sub_cfg.resolution, dtype=dt)
-            arr = load_image_dir_native(path, sub_cfg.resolution,
-                                        dtype=dt)
-            return arr[:limit] if limit is not None else arr
+                return HostImageSet(path, sub_cfg.resolution, dtype=dt,
+                                    disk_cache=sub_cfg.decode_cache)
+            from ganleaks_tpu.io.diskcache import load_image_dir_cached
+            return load_image_dir_cached(path, sub_cfg.resolution,
+                                         limit=limit, dtype=dt,
+                                         policy=sub_cfg.decode_cache)
 
         syn = _load(subdir, streamable=True)
         pos = _load(sub_cfg.pos_data_dir, limit=sub_cfg.data_num)

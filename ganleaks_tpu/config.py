@@ -193,6 +193,19 @@ class AttackConfig:
                                    # place their own device arrays) and
                                    # for f32 storage (4x the per-chunk
                                    # re-ship bytes). true/false pins it.
+    decode_cache: bool | str = "auto"  # persist decoded PNG pixels as a
+                                   # memmapped .npy next to the data
+                                   # (io/diskcache): the first run pays
+                                   # the decode, every later run of ANY
+                                   # attack config over the same files
+                                   # memmaps it read-only — repeat
+                                   # attacks skip the host decode that
+                                   # bounds the e2e wall clock. 'auto'
+                                   # (default): on, at
+                                   # <data_dir>/.ganleaks_decoded or
+                                   # ~/.cache/ganleaks_tpu; a path pins
+                                   # the cache dir; false disables.
+                                   # GANLEAKS_DECODE_CACHE env overrides.
     drop_remainder: bool = False   # replicate fbb.py:77 dropping len(syn) % BATCH_SIZE
     n_chips: int = 1               # >1: shard the generated set over a mesh
     shard_layout: str = "sharded"  # 'sharded' (queries replicated) | 'ring'

@@ -44,7 +44,9 @@ class HostImageSet:
                  ext: str = "png", limit: int | None = None,
                  mode: int = MODE_EXACT, dtype=np.uint8,
                  num_threads: int | None = None, readahead: bool = True,
-                 cache_decoded: bool = True):
+                 cache_decoded: bool = True, disk_cache="auto"):
+        from ganleaks_tpu.io.diskcache import DecodeCache
+
         self.paths = get_filepaths_from_dir(data_dir, ext)
         if limit is not None:
             self.paths = self.paths[:limit]
@@ -61,13 +63,30 @@ class HostImageSet:
         self._pool = ThreadPoolExecutor(max_workers=1) if readahead \
             else None
         self._next: tuple | None = None  # ((start, stop), Future)
+        # persistent decoded cache (io/diskcache): a complete entry from
+        # an earlier run serves every read as a read-only memmap — zero
+        # decode this process; otherwise rows decode into a writable
+        # memmap that is published (sidecar) once the last row lands, so
+        # the NEXT run skips the decode
+        self._dc = DecodeCache(data_dir, self.paths, resolution, mode,
+                               self.dtype, policy=disk_cache)
+        cached = self._dc.load()
+        if cached is not None:
+            self._cache = cached
+            self._have = np.ones(len(self.paths), bool)
+            return
         # decoded-row HOST cache (host RAM is ~8x device HBM here): a
         # multi-chunk schedule re-sweeps the generated set once per
         # chunk — decode each row once, serve re-sweeps from RAM. Costs
         # exactly what the eager loader holds anyway; disable for sets
-        # bigger than host memory.
-        self._cache = (np.empty(self.shape, self.dtype)
-                       if cache_decoded else None)
+        # bigger than host memory. Backed by the writable cache memmap
+        # when available (same bytes, and the OS flushes them to disk
+        # for the next run's free ride).
+        self._cache = None
+        if cache_decoded:
+            mm = self._dc.open_for_write()
+            self._cache = mm if mm is not None \
+                else np.empty(self.shape, self.dtype)
         self._have = (np.zeros(len(self.paths), bool)
                       if cache_decoded else None)
 
@@ -97,6 +116,9 @@ class HostImageSet:
             # never a True flag over unwritten rows
             self._cache[start:stop] = arr
             self._have[start:stop] = True
+            if not self._dc.complete and self._have.all():
+                # last row landed: publish the disk cache for later runs
+                self._dc.mark_complete(self._cache)
         return arr
 
     def _window(self, start: int, stop: int) -> np.ndarray:
