@@ -275,9 +275,14 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         mesh = global_mesh(cfg.n_chips)  # spans hosts after initialize()
     if cfg.hyperparameter_search:
         root = cfg.syn_data_path
+        # skip hidden dirs: a prior non-sweep run over ``root`` leaves a
+        # ``.ganleaks_decoded`` cache dir (io/diskcache) that must not
+        # become a sweep experiment (the reference enumerates everything,
+        # fbb.py:113-118, but never plants dot-dirs)
         subdirs = sorted(
             os.path.join(root, o) for o in os.listdir(root)
-            if os.path.isdir(os.path.join(root, o)))
+            if os.path.isdir(os.path.join(root, o))
+            and not o.startswith("."))
     else:
         subdirs = [cfg.syn_data_path]
 

@@ -181,3 +181,43 @@ def test_attack_second_run_decode_free_and_equal(png_dir, tmp_path,
                              decode_cache=False))[0]
     assert calls, "decode_cache=False must fall back to decoding"
     np.testing.assert_array_equal(ref["pos_nn_idx"], off["pos_nn_idx"])
+
+
+def test_sweep_skips_cache_dir_and_enumerates_subdirs(png_dir, tmp_path,
+                                                      monkeypatch):
+    """The directory sweep (``hyperparameter_search``, reference
+    ``fbb.py:113-123``) must enumerate experiment subdirs but never the
+    hidden ``.ganleaks_decoded`` cache a prior non-sweep run planted in
+    the root."""
+    from ganleaks_tpu.attack.fbb import run_attack
+    from ganleaks_tpu.config import AttackConfig
+
+    monkeypatch.chdir(tmp_path)
+    root = tmp_path / "sweeps" / "syn_root"
+    rng = np.random.default_rng(7)
+    for exp in ("expA", "expB"):
+        d = root / exp
+        d.mkdir(parents=True)
+        for k in range(5):
+            save_png(rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32),
+                     str(d / f"{k}.png"), drange=(-1, 1))
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    for k in range(3):
+        save_png(rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32),
+                 str(qdir / f"{k}.png"), drange=(-1, 1))
+    # a prior flat run's cache dir inside the sweep root must be skipped
+    (root / ".ganleaks_decoded").mkdir()
+    cfg = AttackConfig(distance="l2", engine="gemm", resolution=16,
+                       query_block=4, syn_block=4,
+                       syn_data_path=str(root), pos_data_dir=str(qdir),
+                       neg_data_dir=str(qdir), exp_name="sweep",
+                       hyperparameter_search=True,
+                       save_root=str(tmp_path / "out"))
+    results = run_attack(cfg)
+    assert len(results) == 2, "one result per experiment subdir"
+    out_root = tmp_path / "out" / "sweep__syn_root"
+    assert sorted(os.listdir(out_root)) == ["expA", "expB"]
+    for exp in ("expA", "expB"):
+        assert (out_root / exp / "pos_loss.npy").exists()
+        assert (out_root / exp / "params.txt").exists()
