@@ -13,7 +13,11 @@ Layout: ``<cache_dir>/<key>.npy`` plus ``<key>.json``, the completeness
 sidecar, written atomically (tmp + rename) only after every row has been
 decoded. A reader trusts a cache only when the sidecar exists and its
 recorded shape/dtype match; a crashed or concurrent partial write leaves
-no sidecar and is simply overwritten by the next full decode. The key is
+no sidecar and is simply overwritten by the next full decode. Two
+processes racing on the SAME key write identical bytes (the decode is
+deterministic and the key pins its inputs), so overlapped writes — even
+one publishing while the other is mid-write — can never serve torn
+data, only duplicate work. The key is
 a sha1 over the loader version, the decode parameters, and each file's
 (relative path, size, mtime_ns) — touching any input file, reordering
 the directory, or changing resolution/mode/dtype misses and re-decodes.
