@@ -31,7 +31,7 @@ import os
 
 import numpy as np
 
-from ganleaks_tpu.io.images import get_filepaths_from_dir
+from ganleaks_tpu.io.images import get_filepaths_from_dir, to_uint8
 
 # keys tried in order; each maps to its documented layout
 _KNOWN_KEYS = (
@@ -52,11 +52,40 @@ def find_npz_files(path: str) -> list[str]:
     return get_filepaths_from_dir(path, "npz")
 
 
+def _member_ndims(path: str) -> dict[str, int]:
+    """Member name -> ndim, read from the .npy headers inside the zip
+    WITHOUT inflating any array data (an unknown-key NPZ can hold several
+    multi-GB members; ``f[k].ndim`` would decompress each in full)."""
+    import zipfile
+
+    from numpy.lib import format as npf
+
+    ndims: dict[str, int] = {}
+    with zipfile.ZipFile(path) as z:
+        for name in z.namelist():
+            if not name.endswith(".npy"):
+                continue
+            with z.open(name) as f:
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = npf.read_array_header_1_0(f)
+                elif version == (2, 0):
+                    shape, _, _ = npf.read_array_header_2_0(f)
+                else:  # future header version: caller falls back
+                    raise ValueError(f"npy header version {version}")
+                ndims[name[:-4]] = len(shape)
+    return ndims
+
+
 def _pick_array(f: np.lib.npyio.NpzFile, path: str) -> tuple[np.ndarray, str]:
     for key, layout in _KNOWN_KEYS:
         if key in f.files:
             return f[key], layout
-    four_d = [k for k in f.files if f[k].ndim == 4]
+    try:
+        ndims = _member_ndims(path)
+        four_d = [k for k in f.files if ndims.get(k) == 4]
+    except Exception:  # unreadable headers: pay the full-inflate scan
+        four_d = [k for k in f.files if f[k].ndim == 4]
     if len(four_d) == 1:
         return f[four_d[0]], "auto"
     raise ValueError(
@@ -125,11 +154,18 @@ def load_npz_images(path: str, resolution: int | None = 64,
             u8 = arr
         else:
             arr = arr.astype(np.float32, copy=False)
-            if arr.size and float(arr.min()) < -0.05:
-                raise ValueError(
-                    f"{fp}: values below 0 — expected the reference's "
-                    f"[0, 1] convention (train_torch.py:158, "
-                    f"sample.py:55-59); renormalize before ingest")
+            if arr.size:
+                lo, hi = float(arr.min()), float(arr.max())
+                # both bounds, loudly: a [-1,1] dump would flatten its
+                # lower half and a 0-255-scaled dump would saturate to
+                # all-white under the clip below — silent garbage scores
+                if lo < -0.05 or hi > 1.0 + 1e-6:
+                    raise ValueError(
+                        f"{fp}: float values span [{lo:g}, {hi:g}] — "
+                        f"expected the reference's [0, 1] convention "
+                        f"(train_torch.py:158, sample.py:55-59); a "
+                        f"[-1, 1] or 0-255-scaled dump must be "
+                        f"renormalized before ingest")
             if not quantize:
                 if np.dtype(dtype) == np.uint8:
                     raise ValueError("quantize=False requires float output")
@@ -143,8 +179,9 @@ def load_npz_images(path: str, resolution: int | None = 64,
                     break
                 continue
             # ToPILImage truncation: floor(clip(x, 0, 1) * 255)
-            # (io.images.to_uint8 semantics, train_torch.py:155)
-            u8 = (np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+            # (train_torch.py:155) — io.images.to_uint8 owns that
+            # parity contract, so route through it
+            u8 = to_uint8(arr, drange=(0.0, 1.0))
         if u8.shape[3] == 1:
             u8 = np.broadcast_to(u8, u8.shape[:3] + (3,)).copy()
         if resolution is not None and (u8.shape[1] != resolution
@@ -165,18 +202,33 @@ def load_npz_images(path: str, resolution: int | None = 64,
     return out[:limit] if limit is not None else out
 
 
+def _dir_has_image(path: str) -> bool:
+    """Does any png/jpg live under ``path``? First-match walk — returns
+    on the first image filename instead of building the full 120k-entry
+    sorted listing the loader will build anyway."""
+    for _d, _s, flist in os.walk(path):
+        for fn in flist:
+            if fn.lower().endswith((".png", ".jpg", ".jpeg")):
+                return True
+    return False
+
+
 def resolve_input_format(path: str, fmt: str = "auto") -> str:
     """'png' | 'npz' for one image-set path. 'auto' picks npz only when
-    the path is an ``.npz`` file or a dir with npz content and no PNGs
-    (the reference keeps ``png_images/`` and ``npz_images/`` disjoint,
-    ``train_torch.py:160-162``), so existing PNG workflows never change
-    behavior."""
+    the path is an ``.npz`` file or a dir with npz content and NO image
+    files (the reference keeps ``png_images/`` and ``npz_images/``
+    disjoint, ``train_torch.py:160-162``), so existing image-dir
+    workflows never change behavior. Images are probed FIRST: a jpg/png
+    dir that also holds a stats ``.npz`` (the FID layout,
+    ``z_fid.py:286-300``) must stay on the image path."""
     if fmt in ("png", "npz"):
         return fmt
     if fmt != "auto":
         raise ValueError(f"input_format must be auto/png/npz, got {fmt!r}")
     if os.path.isfile(path):
         return "npz" if path.endswith(".npz") else "png"
-    if find_npz_files(path) and not get_filepaths_from_dir(path, "png"):
+    if _dir_has_image(path):
+        return "png"
+    if find_npz_files(path):
         return "npz"
     return "png"

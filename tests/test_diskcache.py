@@ -221,3 +221,66 @@ def test_sweep_skips_cache_dir_and_enumerates_subdirs(png_dir, tmp_path,
     for exp in ("expA", "expB"):
         assert (out_root / exp / "pos_loss.npy").exists()
         assert (out_root / exp / "params.txt").exists()
+
+
+def test_rewriter_never_corrupts_published_entry(png_dir):
+    """A second writer on the SAME key (concurrent sweep process, or a
+    re-decode after a transient load error) must not touch the published
+    bytes: open_for_write targets a per-process temp file, never the
+    published ``.npy`` (in-place truncation would serve zeroed pixels
+    under a still-valid sidecar)."""
+    first = np.asarray(load_image_dir_cached(png_dir, 16, dtype=np.uint8))
+    assert first.any(), "fixture images must be non-zero"
+    paths = [os.path.join(png_dir, f) for f in sorted(os.listdir(png_dir))
+             if f.endswith(".png")]
+    rewriter = DecodeCache(png_dir, paths, 16, 0, np.uint8)
+    assert rewriter.enabled
+    mm = rewriter.open_for_write()   # crashes before mark_complete
+    assert mm is not None
+    assert rewriter._tmp_path != rewriter.npy_path
+    again = DecodeCache(png_dir, paths, 16, 0, np.uint8).load()
+    assert again is not None, "published entry must survive a re-writer"
+    np.testing.assert_array_equal(np.asarray(again), first)
+    del mm
+
+
+def test_env_off_beats_explicit_policy_path(png_dir, tmp_path,
+                                            monkeypatch):
+    """GANLEAKS_DECODE_CACHE=off must win over a config-pinned cache
+    dir (the operator's global kill switch on quota'd disks)."""
+    pin = str(tmp_path / "pinned_env")
+    monkeypatch.setenv("GANLEAKS_DECODE_CACHE", "off")
+    load_image_dir_cached(png_dir, 16, dtype=np.uint8, policy=pin)
+    assert not os.path.isdir(pin)
+    monkeypatch.delenv("GANLEAKS_DECODE_CACHE")
+    load_image_dir_cached(png_dir, 16, dtype=np.uint8, policy=pin)
+    assert any(f.endswith(".json") for f in os.listdir(pin))
+
+
+def test_gc_prunes_stale_entries_and_crashed_tmps(png_dir, tmp_path,
+                                                  monkeypatch):
+    """Publishing an entry garbage-collects the cache dir: entries
+    beyond the keep budget and day-old writer temps go; fresh temps (a
+    live concurrent writer) stay."""
+    monkeypatch.setenv("GANLEAKS_DECODE_CACHE_KEEP", "1")
+    cache_dir = os.path.join(png_dir, ".ganleaks_decoded")
+    load_image_dir_cached(png_dir, 16, dtype=np.uint8)
+    # a crashed writer's day-old temp + a live (fresh) one
+    stale = os.path.join(cache_dir, "deadbeef.npy.w123")
+    live = os.path.join(cache_dir, "cafecafe.npy.w456")
+    for p in (stale, live):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    old = os.path.getmtime(stale) - 2 * 24 * 3600
+    os.utime(stale, (old, old))
+    # different key (different dtype) -> publish triggers the GC
+    load_image_dir_cached(png_dir, 16, dtype=np.float32)
+    names = os.listdir(cache_dir)
+    assert not any(n.startswith("deadbeef") for n in names), "stale tmp"
+    assert any(n.startswith("cafecafe") for n in names), "live tmp kept"
+    assert sum(n.endswith(".json") for n in names) == 1, \
+        "keep=1 leaves only the newest published entry"
+    assert sum(n.endswith(".npy") for n in names) == 1
+    # the surviving entry is the one just published and still loads
+    assert isinstance(
+        load_image_dir_cached(png_dir, 16, dtype=np.float32), np.memmap)

@@ -119,7 +119,7 @@ def test_bad_inputs(tmp_path):
         load_npz_images(str(p), 4)
     p2 = tmp_path / "neg.npz"
     np.savez(p2, fake=np.full((1, 3, 4, 4), -0.5, np.float32))
-    with pytest.raises(ValueError, match="below 0"):
+    with pytest.raises(ValueError, match=r"\[0, 1\] convention"):
         load_npz_images(str(p2), 4)
     with pytest.raises(FileNotFoundError):
         load_npz_images(str(tmp_path / "empty_dir_nope"), 4)
@@ -225,3 +225,48 @@ def test_attack_on_npz_equals_attack_on_png(tmp_path, rng):
     np.testing.assert_array_equal(a["neg_loss"], b["neg_loss"])
     np.testing.assert_array_equal(a["pos_nn_idx"], b["pos_nn_idx"])
     np.testing.assert_array_equal(a["neg_nn_idx"], b["neg_nn_idx"])
+
+
+def test_out_of_range_float_dump_raises(tmp_path):
+    """A 0-255-scaled float dump must fail loudly, not clip to all-white
+    images (the [0,1]-convention guard checks BOTH bounds)."""
+    p = tmp_path / "scaled.npz"
+    np.savez(p, fake=np.random.default_rng(0).uniform(
+        0, 255, (2, 3, 4, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match=r"\[0, 1\] convention"):
+        load_npz_images(str(p), 4)
+
+
+def test_unknown_key_picked_via_header_peek(tmp_path, rng):
+    """The unknown-key fallback must find the single 4-D member from the
+    .npy headers (no full decompression) and load it correctly."""
+    from ganleaks_tpu.io.npz import _member_ndims
+
+    p = tmp_path / "odd.npz"
+    imgs = rng.uniform(0, 1, (3, 4, 4, 3)).astype(np.float32)
+    np.savez_compressed(p, weird_name=imgs, meta=np.arange(5))
+    assert _member_ndims(str(p)) == {"weird_name": 4, "meta": 1}
+    out = load_npz_images(str(p), 4)
+    assert out.shape == (3, 4, 4, 3)
+    expect = 2.0 * ((np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+                    .astype(np.float64) / 255.0) - 1.0
+    np.testing.assert_allclose(out, expect.astype(np.float32), atol=1e-7)
+
+
+def test_image_dir_with_stats_npz_stays_png(tmp_path, rng):
+    """A jpg/png image dir that also holds a precomputed stats ``.npz``
+    (the FID layout, ``z_fid.py:286-300``) must resolve to the image
+    path — images win over npz under 'auto'."""
+    import PIL.Image
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    u8 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    PIL.Image.fromarray(u8).save(d / "a.jpg")
+    np.savez(d / "stats.npz", mu=np.zeros(4), sigma=np.eye(4))
+    assert resolve_input_format(str(d)) == "png"
+    # and a dir with ONLY npz content still resolves to npz
+    d2 = tmp_path / "arrays"
+    d2.mkdir()
+    np.savez(d2 / "x.npz", fake=np.zeros((1, 3, 4, 4), np.float32))
+    assert resolve_input_format(str(d2)) == "npz"
