@@ -662,71 +662,89 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
         ss = 0
         restart_chunk = False
         inflight_s: deque = deque()
-        while ss < n_s:
-            deferred = False
-            try:
-                s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
-                new_state = fold(state, bufs, rq, s_parts, rs_blk, ss,
-                                 n_valid)
-                state = new_state
-                ss += n_valid
-                deferred = True  # past the commit: failures below belong
-                # to a fold already folded into `state`
-                # backpressure (see docstring) — a deferred async failure
-                # from a fold committed up to _SYNC_WINDOW blocks ago
-                # surfaces HERE, after `state` absorbed its output
-                inflight_s.append(rs_blk)
-                if len(inflight_s) > _SYNC_WINDOW:
-                    _drain(inflight_s.popleft())
-            except Exception as e:
-                if not _is_oom(e):
-                    raise
-                if s_block > 1:
-                    s_block = max(1, s_block // 2)
-                    # fence BEFORE retrying: the failed attempt's in-flight
-                    # buffers pin HBM until the queue drains, so an
-                    # unfenced retry can OOM spuriously and cascade the
-                    # halving all the way to s_block=1
-                    inflight_s.clear()
-                    s_parts = rs_blk = None  # noqa: F841
-                    if not _free_fence():
-                        raise
-                    if deferred:
-                        # the failed fold's poisoned output is already in
-                        # `state` (and folds after it compounded it):
-                        # reset the state and restart the sweep — the
-                        # query cache is read-only to the fold and was
-                        # verified before the sweep, so it survives
-                        state = init_state(padded)
-                        ss = 0
-                        print(f"[knn] deferred synthetic stream OOM; "
-                              f"s_block={s_block} (restarting the sweep; "
-                              f"{_hbm_live()})")
-                    else:
-                        print(f"[knn] synthetic stream OOM; "
-                              f"s_block={s_block} (resuming at row {ss}; "
-                              f"{_hbm_live()})")
+        while True:
+            if ss >= n_s:
+                # sweep fully dispatched: drain the backpressure tail.
+                # A deferred async failure from one of the LAST
+                # _SYNC_WINDOW folds would otherwise escape the driver
+                # entirely — take() is lazy, so it would burst at the
+                # caller's readback where no halving resume exists (or,
+                # on multi-chunk runs, masquerade as the NEXT chunk's
+                # allocation OOM over a poisoned take() output)
+                try:
+                    _drain(state)
+                    break
+                except Exception as drain_e:
+                    err, deferred = drain_e, True
+            else:
+                deferred = False
+                try:
+                    s_parts, rs_blk, n_valid = block_norms(syn, ss, s_block)
+                    new_state = fold(state, bufs, rq, s_parts, rs_blk, ss,
+                                     n_valid)
+                    state = new_state
+                    ss += n_valid
+                    deferred = True  # past the commit: failures below
+                    # belong to a fold already folded into `state`
+                    # backpressure (see docstring) — a deferred async
+                    # failure from a fold committed up to _SYNC_WINDOW
+                    # blocks ago surfaces HERE, after `state` absorbed it
+                    inflight_s.append(rs_blk)
+                    if len(inflight_s) > _SYNC_WINDOW:
+                        _drain(inflight_s.popleft())
                     continue
-                # s_block exhausted: the pressure is the RESIDENT side
-                # (query cache + fold state), not the streamed block —
-                # observed with an over-ambitious 12 GB cache whose
-                # sweep died near the end with every s_block failing.
-                # Shrink the cache and redo this chunk; smaller blocks
-                # cannot help further, so raising here would be final.
-                # (padded <= q_block: THIS chunk is already minimal —
-                # shrinking chunk_rows cannot reduce its buffers, so a
-                # restart would just loop)
-                if chunk_rows <= q_block or padded <= q_block:
-                    raise
-                chunk_rows = max(q_block,
-                                 (chunk_rows // 2) // q_block * q_block)
-                s_block = s_block0
-                print(f"[knn] synthetic stream OOM persists at s_block=1; "
-                      f"halving query cache to chunk_rows={chunk_rows} "
-                      f"and restarting the chunk ({_hbm_live()})")
-                restart_chunk = True
-                oom_err = e
-                break
+                except Exception as body_e:
+                    err = body_e
+            # shared OOM handler for the sweep body and the final drain
+            e = err
+            if not _is_oom(e):
+                raise e
+            if s_block > 1:
+                s_block = max(1, s_block // 2)
+                # fence BEFORE retrying: the failed attempt's in-flight
+                # buffers pin HBM until the queue drains, so an
+                # unfenced retry can OOM spuriously and cascade the
+                # halving all the way to s_block=1
+                inflight_s.clear()
+                s_parts = rs_blk = None  # noqa: F841
+                if not _free_fence():
+                    raise e
+                if deferred:
+                    # the failed fold's poisoned output is already in
+                    # `state` (and folds after it compounded it):
+                    # reset the state and restart the sweep — the
+                    # query cache is read-only to the fold and was
+                    # verified before the sweep, so it survives
+                    state = init_state(padded)
+                    ss = 0
+                    print(f"[knn] deferred synthetic stream OOM; "
+                          f"s_block={s_block} (restarting the sweep; "
+                          f"{_hbm_live()})")
+                else:
+                    print(f"[knn] synthetic stream OOM; "
+                          f"s_block={s_block} (resuming at row {ss}; "
+                          f"{_hbm_live()})")
+                continue
+            # s_block exhausted: the pressure is the RESIDENT side
+            # (query cache + fold state), not the streamed block —
+            # observed with an over-ambitious 12 GB cache whose
+            # sweep died near the end with every s_block failing.
+            # Shrink the cache and redo this chunk; smaller blocks
+            # cannot help further, so raising here would be final.
+            # (padded <= q_block: THIS chunk is already minimal —
+            # shrinking chunk_rows cannot reduce its buffers, so a
+            # restart would just loop)
+            if chunk_rows <= q_block or padded <= q_block:
+                raise e
+            chunk_rows = max(q_block,
+                             (chunk_rows // 2) // q_block * q_block)
+            s_block = s_block0
+            print(f"[knn] synthetic stream OOM persists at s_block=1; "
+                  f"halving query cache to chunk_rows={chunk_rows} "
+                  f"and restarting the chunk ({_hbm_live()})")
+            restart_chunk = True
+            oom_err = e
+            break
         if restart_chunk:
             del bufs, rq, state
             parts = rq_part = s_parts = rs_blk = None  # noqa: F841
@@ -1580,7 +1598,10 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
     # just as bf16 as an f32 one demoted by the streamer — keying on
     # _stream_demote alone under-estimated eta 1000x for exactly the
     # production configuration and would wrongly certify near-ties
-    demoted = (jnp.dtype(probe_dt) == jnp.dtype(jnp.bfloat16)
+    # keyed on itemsize, not the bf16 dtype alone: a natively-float16
+    # embed_lo is just as reduced-precision as a bf16 one and must not
+    # get the 1e-6 full-f32 eta (which would wrongly certify near-ties)
+    demoted = (jnp.dtype(probe_dt).itemsize < 4
                or (_stream_demote(probe_dt, None) and engine != "exact")
                or engine == "taps-int8")  # int8 towers run bf16 upstream
     eta = cert_eta if cert_eta is not None else _default_cert_eta(demoted)

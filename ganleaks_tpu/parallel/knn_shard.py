@@ -335,9 +335,11 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                   and engine != "exact")
         cdtype = jnp.bfloat16 if demote else probe[0].dtype
 
-    # synthetic shard layout: contiguous index ranges, padded so every
-    # shard is a whole number of s_blocks (a clamped dynamic_slice would
-    # otherwise mis-attribute global indices near the shard end)
+    # synthetic shard layout: contiguous index ranges, padded to whole
+    # s_blocks so the common-case sweep runs uniform steps (correctness
+    # never depends on divisibility — the sweep shrinks its final step
+    # to the shard tail, so a planner- or OOM-halved s_block that stops
+    # dividing shard_p still slices/attributes exactly)
     shard = -(-n_s // n_dev)
     s_block = min(s_block, shard)
     shard_p = -(-shard // s_block) * s_block
@@ -360,41 +362,57 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     img_row = int(np.prod(queries.shape[1:])) * queries.dtype.itemsize
     # featurize is batch-sharded (device_put(blk, data_sh) below): each
     # chip ships and runs q_block/n_dev rows per block — charge the
-    # per-chip share for the resident block and the tower activations
+    # per-chip share for the resident block and the tower activations.
+    # A device-resident (jax.Array) query set is replicated on every
+    # chip for the whole search and must be charged too (host-backed
+    # sets — numpy / HostImageSet — ship one block at a time, already
+    # covered by the q_block share)
     query_cache_bytes, s_block = _auto_stream_plan(
         queries, syn, row_bytes, q_block=q_block, s_block=s_block,
         cache_bytes=query_cache_bytes,
         resident_bytes=(syn_flat.nbytes // n_dev
-                        + (q_block // n_dev) * img_row),
+                        + (q_block // n_dev) * img_row
+                        + (queries.nbytes
+                           if isinstance(queries, jax.Array) else 0)),
         feat_rows=q_block // n_dev,
         act_itemsize=max(2, jnp.dtype(probe[0].dtype).itemsize))
     chunk_rows = max(q_block,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)
 
-    zeros_rep = jax.jit(
-        lambda shape, dt: jnp.zeros(shape, dt), static_argnums=(0, 1),
-        out_shardings=rep)
     state_sh = NamedSharding(mesh, P(axis, *([None] * (1 if k is None
                                                        else 2))))
-    init_state = jax.jit(
-        lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
-                       jnp.zeros(shape, jnp.int32)),
-        static_argnums=0, out_shardings=(state_sh, state_sh))
+    # tiny helper programs, cached like every other mesh wrapper (a
+    # fresh jax.jit object per search call would retrace+compile them
+    # on every invocation — real latency on remote-compile backends)
+    hcache = _mesh_fn_cache(embed_fn)
+    hkey = ("helpers", mesh, axis, k)
+    if hkey not in hcache:
+        zeros_rep = jax.jit(
+            lambda shape, dt: jnp.zeros(shape, dt), static_argnums=(0, 1),
+            out_shardings=rep)
+        init_state = jax.jit(
+            lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
+                           jnp.zeros(shape, jnp.int32)),
+            static_argnums=0, out_shardings=(state_sh, state_sh))
 
-    if k is None:
-        def combine(rd, ri):  # (n_dev, padded) -> first-shard-wins argmin
-            best = jnp.argmin(rd, axis=0)
-            return (jnp.take_along_axis(rd, best[None], 0)[0],
-                    jnp.take_along_axis(ri, best[None], 0)[0])
-    else:
-        def combine(rd, ri):  # (n_dev, padded, k) -> global stable top-k
-            n_dv, padded, _ = rd.shape
-            cat_d = jnp.transpose(rd, (1, 0, 2)).reshape(padded, n_dv * k)
-            cat_i = jnp.transpose(ri, (1, 0, 2)).reshape(padded, n_dv * k)
-            neg, pos = jax.lax.top_k(-cat_d, k)
-            return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
-    combine = jax.jit(combine, out_shardings=(rep, rep))
+        if k is None:
+            def combine(rd, ri):  # (n_dev, padded) -> first-shard argmin
+                best = jnp.argmin(rd, axis=0)
+                return (jnp.take_along_axis(rd, best[None], 0)[0],
+                        jnp.take_along_axis(ri, best[None], 0)[0])
+        else:
+            def combine(rd, ri):  # (n_dev, padded, k) -> stable top-k
+                n_dv, padded, _ = rd.shape
+                cat_d = jnp.transpose(rd, (1, 0, 2)).reshape(padded,
+                                                             n_dv * k)
+                cat_i = jnp.transpose(ri, (1, 0, 2)).reshape(padded,
+                                                             n_dv * k)
+                neg, pos = jax.lax.top_k(-cat_d, k)
+                return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+        hcache[hkey] = (zeros_rep, init_state,
+                        jax.jit(combine, out_shardings=(rep, rep)))
+    zeros_rep, init_state, combine = hcache[hkey]
 
     outs = []
     rs_max_val = None
@@ -472,10 +490,20 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 # DEFERRED failure: the failed block's outputs may already
                 # be in the donated replicated cache with qs advanced past
                 # it — drop the cache, refeaturize the chunk (ops/knn
-                # _stream_search has the full rationale)
-                if not _is_oom(e) or q_block <= n_dev:
+                # _stream_search has the full rationale). A deferred
+                # KERNEL failure (pallas epilogue under JAX async
+                # dispatch) recovers the same way after flipping to the
+                # XLA path — the sync handler above never sees it
+                if not _is_oom(e):
+                    if not disable_fast_epilogue(embed_fn):
+                        raise
+                    print("[knn-mesh] pallas epilogue failed (deferred); "
+                          "rebuilding with the XLA path")
+                elif q_block > n_dev:
+                    q_block = max(n_dev,
+                                  -(-(q_block // 2) // n_dev) * n_dev)
+                else:
                     raise
-                q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
                 refeaturize, oom_err = True, e
                 break
         if not refeaturize:
@@ -484,9 +512,16 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 # featurize failure cannot masquerade as a fold failure
                 _drain((bufs, rq))
             except Exception as e:
-                if not _is_oom(e) or q_block <= n_dev:
+                if not _is_oom(e):
+                    if not disable_fast_epilogue(embed_fn):
+                        raise
+                    print("[knn-mesh] pallas epilogue failed (deferred); "
+                          "rebuilding with the XLA path")
+                elif q_block > n_dev:
+                    q_block = max(n_dev,
+                                  -(-(q_block // 2) // n_dev) * n_dev)
+                else:
                     raise
-                q_block = max(n_dev, -(-(q_block // 2) // n_dev) * n_dev)
                 refeaturize, oom_err = True, e
         if refeaturize:
             inflight.clear()
@@ -503,50 +538,75 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         rs_max = zeros_rep((), jnp.float32)
         ss = 0
         inflight_s: deque = deque()
-        while ss < shard_p:
-            deferred = False
-            try:
-                fold = _build_fold_step(embed_fn, mesh, axis, cdtype,
-                                        structured, engine, s_block, k,
-                                        precision, bounds)
-                new_d, new_i, rs_max_new = fold(
-                    syn_flat, bufs, rq, run_d, run_i, rs_max,
-                    jnp.int32(ss), jnp.int32(shard_p), jnp.int32(n_s))
-                run_d, run_i, rs_max = new_d, new_i, rs_max_new
-                ss += s_block
-                deferred = True  # past the commit (see ops/knn)
-                # backpressure — a deferred async failure from a fold
-                # committed up to _SYNC_WINDOW blocks ago surfaces here
-                inflight_s.append(rs_max_new)
-                if len(inflight_s) > _SYNC_WINDOW:
-                    _drain(inflight_s.popleft())
-            except Exception as e:
-                if not _is_oom(e):
-                    if disable_fast_epilogue(embed_fn):
-                        print("[knn-mesh] pallas epilogue failed under "
-                              "the mesh wrapper; rebuilding with the "
-                              "XLA path")
-                        continue
-                    raise
-                if s_block <= 1:
-                    raise
-                s_block = max(1, s_block // 2)
-                inflight_s.clear()
-                if not _free_fence():
-                    raise
+        while True:
+            if ss >= shard_p:
+                # sweep fully dispatched: drain the backpressure tail so
+                # a deferred failure from the last _SYNC_WINDOW folds
+                # cannot escape to combine()/readback (ops/knn has the
+                # full rationale)
+                try:
+                    _drain((run_d, run_i))
+                    break
+                except Exception as drain_e:
+                    err, deferred = drain_e, True
+            else:
+                deferred = False
+                try:
+                    # the step size shrinks to the shard tail so the
+                    # compiled dynamic_slice never clamps — the planner
+                    # or an OOM halving may set an s_block that does not
+                    # divide shard_p, and a clamped slice would silently
+                    # mis-attribute global indices near the shard end
+                    step_rows = min(s_block, shard_p - ss)
+                    fold = _build_fold_step(embed_fn, mesh, axis, cdtype,
+                                            structured, engine, step_rows,
+                                            k, precision, bounds)
+                    new_d, new_i, rs_max_new = fold(
+                        syn_flat, bufs, rq, run_d, run_i, rs_max,
+                        jnp.int32(ss), jnp.int32(shard_p), jnp.int32(n_s))
+                    run_d, run_i, rs_max = new_d, new_i, rs_max_new
+                    ss += step_rows
+                    deferred = True  # past the commit (see ops/knn)
+                    # backpressure — a deferred async failure from a fold
+                    # committed up to _SYNC_WINDOW blocks ago surfaces here
+                    inflight_s.append(rs_max_new)
+                    if len(inflight_s) > _SYNC_WINDOW:
+                        _drain(inflight_s.popleft())
+                    continue
+                except Exception as body_e:
+                    err = body_e
+            e = err
+            if not _is_oom(e):
+                if not disable_fast_epilogue(embed_fn):
+                    raise e
+                print("[knn-mesh] pallas epilogue failed under the mesh "
+                      "wrapper; rebuilding with the XLA path")
                 if deferred:
                     # the failed fold is already folded into the running
-                    # state: reset it and restart the sweep (the verified
-                    # query cache is read-only to the fold and survives)
+                    # state — restart the sweep on the rebuilt path
                     run_d, run_i = init_state(st_shape)
                     rs_max = zeros_rep((), jnp.float32)
                     ss = 0
-                    print(f"[knn-mesh] deferred synthetic stream OOM; "
-                          f"s_block={s_block} (restarting the sweep)")
-                else:
-                    print(f"[knn-mesh] synthetic stream OOM; "
-                          f"s_block={s_block} (resuming at row {ss})")
+                    inflight_s.clear()
                 continue
+            if s_block <= 1:
+                raise e
+            s_block = max(1, s_block // 2)
+            inflight_s.clear()
+            if not _free_fence():
+                raise e
+            if deferred:
+                # the failed fold is already folded into the running
+                # state: reset it and restart the sweep (the verified
+                # query cache is read-only to the fold and survives)
+                run_d, run_i = init_state(st_shape)
+                rs_max = zeros_rep((), jnp.float32)
+                ss = 0
+                print(f"[knn-mesh] deferred synthetic stream OOM; "
+                      f"s_block={s_block} (restarting the sweep)")
+            else:
+                print(f"[knn-mesh] synthetic stream OOM; "
+                      f"s_block={s_block} (resuming at row {ss})")
         d, i = combine(run_d, run_i)
         rs_max_val = rs_max if rs_max_val is None else \
             jnp.maximum(rs_max_val, rs_max)
@@ -561,9 +621,10 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     rq_all = (jnp.concatenate([o[2] for o in outs]) if len(outs) > 1
               else outs[0][2])
     return d, i, {"rq": rq_all, "rs_max": rs_max_val,
+                  # any sub-f32 stream dtype (bf16 OR f16) is reduced
+                  # precision for the certificate's eta selection
                   "demoted": bool(
-                      jnp.dtype(cdtype) == jnp.dtype(jnp.bfloat16)
-                      or quantize),
+                      jnp.dtype(cdtype).itemsize < 4 or quantize),
                   "bounds": bounds,
                   "part_shapes": [tuple(p.shape[1:]) for p in probe]}
 
@@ -825,8 +886,12 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                   and engine != "exact")
         cdtype = jnp.bfloat16 if demote else probe[0].dtype
 
-    # per-shard row counts padded to whole blocks (global index integrity
-    # under clamped dynamic_slice — same rationale as the sharded layout)
+    # per-shard row counts padded to whole blocks so the common-case
+    # walks run uniform steps; correctness never depends on divisibility
+    # — both walks shrink their final step to the shard tail, so a
+    # halved block that stops dividing the padded shard still slices and
+    # attributes exactly (a clamped dynamic_slice would otherwise write
+    # cache rows at shifted offsets / mislabel global indices)
     q_shard = -(-n_q // n_dev)
     q_block = min(q_block, q_shard)
     q_shard_p = -(-q_shard // q_block) * q_block
@@ -851,8 +916,18 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     q_sh = _pad_put(queries, q_shard_p)
     syn_sh = _pad_put(syn, shard_p)
 
-    zeros_sh = jax.jit(lambda shape, dt: jnp.zeros(shape, dt),
-                       static_argnums=(0, 1), out_shardings=data_sh)
+    # tiny helper programs, cached like the other ring wrappers (a fresh
+    # jax.jit per call would retrace+compile on every search invocation)
+    hcache = _mesh_fn_cache(embed_fn)
+    hkey = ("ring_helpers", mesh, axis)
+    if hkey not in hcache:
+        hcache[hkey] = (
+            jax.jit(lambda shape, dt: jnp.zeros(shape, dt),
+                    static_argnums=(0, 1), out_shardings=data_sh),
+            jax.jit(lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
+                                   jnp.zeros(shape, jnp.int32)),
+                    static_argnums=0, out_shardings=(state_sh, state_sh)))
+    zeros_sh, init = hcache[hkey]
     while True:  # one restart per deferred featurize failure
         bufs = [zeros_sh((q_shard_p * n_dev,) + tuple(p.shape[1:]), cdtype)
                 for p in probe]
@@ -862,9 +937,13 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
         refeaturize = False
         oom_err: Exception | None = None
         while qs < q_shard_p:
+            # final step shrinks to the shard tail — a halved q_block
+            # that stops dividing q_shard_p must not clamp the slice
+            # (rows would land at shifted cache offsets)
+            stepq = min(q_block, q_shard_p - qs)
             try:
                 qcache = _build_ring_qcache(embed_fn, mesh, axis, cdtype,
-                                            structured, bounds, q_block)
+                                            structured, bounds, stepq)
                 bufs, rq = qcache(q_sh, bufs, rq, jnp.int32(qs))
             except Exception as e:
                 if not _is_oom(e):
@@ -887,7 +966,7 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                 print(f"[knn-ring] query featurize OOM; q_block={q_block} "
                       f"(resuming at local row {qs})")
                 continue
-            qs += q_block
+            qs += stepq
             try:
                 # backpressure + deferred-failure surfacing (ops/knn
                 # _stream_search has the rationale): past this point a
@@ -897,18 +976,32 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                 if len(inflight) > _SYNC_WINDOW:
                     _drain(inflight.popleft())
             except Exception as e:
-                if not _is_oom(e) or q_block <= 1:
+                # deferred kernel failures recover by flipping to the
+                # XLA epilogue and refilling, like deferred OOMs
+                if not _is_oom(e):
+                    if not disable_fast_epilogue(embed_fn):
+                        raise
+                    print("[knn-ring] pallas epilogue failed (deferred); "
+                          "rebuilding with the XLA path")
+                elif q_block > 1:
+                    q_block = max(1, q_block // 2)
+                else:
                     raise
-                q_block = max(1, q_block // 2)
                 refeaturize, oom_err = True, e
                 break
         if not refeaturize:
             try:
                 _drain((bufs, rq))  # verify before the sweep
             except Exception as e:
-                if not _is_oom(e) or q_block <= 1:
+                if not _is_oom(e):
+                    if not disable_fast_epilogue(embed_fn):
+                        raise
+                    print("[knn-ring] pallas epilogue failed (deferred); "
+                          "rebuilding with the XLA path")
+                elif q_block > 1:
+                    q_block = max(1, q_block // 2)
+                else:
                     raise
-                q_block = max(1, q_block // 2)
                 refeaturize, oom_err = True, e
         if not refeaturize:
             break
@@ -919,53 +1012,69 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
         print(f"[knn-ring] deferred query featurize OOM; q_block={q_block} "
               f"(refeaturizing the query cache)")
 
-    init = jax.jit(
-        lambda shape: (jnp.full(shape, jnp.inf, jnp.float32),
-                       jnp.zeros(shape, jnp.int32)),
-        static_argnums=0, out_shardings=(state_sh, state_sh))
     run_d, run_i = init((n_dev, q_shard_p))
     ss = 0
     inflight_s: deque = deque()
-    while ss < shard_p:
-        deferred = False
-        try:
-            step = _build_ring_step(embed_fn, mesh, axis, cdtype,
-                                    structured, engine, s_block,
-                                    precision, bounds)
-            new_d, new_i = step(syn_sh, bufs, rq, run_d, run_i,
-                                jnp.int32(ss), jnp.int32(shard_p),
-                                jnp.int32(n_s))
-            run_d, run_i = new_d, new_i
-            ss += s_block
-            deferred = True  # past the commit (see ops/knn)
-            inflight_s.append(new_d)
-            if len(inflight_s) > _SYNC_WINDOW:
-                _drain(inflight_s.popleft())
-        except Exception as e:
-            if not _is_oom(e):
-                if disable_fast_epilogue(embed_fn):
-                    print("[knn-ring] pallas epilogue failed under the "
-                          "ring wrapper; rebuilding with the XLA path")
-                    continue
-                raise
-            if s_block <= 1:
-                raise
-            s_block = max(1, s_block // 2)
-            inflight_s.clear()
-            if not _free_fence():
-                raise
+    while True:
+        if ss >= shard_p:
+            # sweep fully dispatched: drain the backpressure tail so a
+            # deferred failure from the last _SYNC_WINDOW steps cannot
+            # escape to the readback below (ops/knn has the rationale)
+            try:
+                _drain((run_d, run_i))
+                break
+            except Exception as drain_e:
+                err, deferred = drain_e, True
+        else:
+            deferred = False
+            try:
+                # final step shrinks to the shard tail (same clamped-
+                # slice index-integrity rationale as the mesh sweep)
+                step_rows = min(s_block, shard_p - ss)
+                step = _build_ring_step(embed_fn, mesh, axis, cdtype,
+                                        structured, engine, step_rows,
+                                        precision, bounds)
+                new_d, new_i = step(syn_sh, bufs, rq, run_d, run_i,
+                                    jnp.int32(ss), jnp.int32(shard_p),
+                                    jnp.int32(n_s))
+                run_d, run_i = new_d, new_i
+                ss += step_rows
+                deferred = True  # past the commit (see ops/knn)
+                inflight_s.append(new_d)
+                if len(inflight_s) > _SYNC_WINDOW:
+                    _drain(inflight_s.popleft())
+                continue
+            except Exception as body_e:
+                err = body_e
+        e = err
+        if not _is_oom(e):
+            if not disable_fast_epilogue(embed_fn):
+                raise e
+            print("[knn-ring] pallas epilogue failed under the "
+                  "ring wrapper; rebuilding with the XLA path")
             if deferred:
-                # the failed step's poisoned output is already in the
-                # running state: reset and restart the sweep (the
-                # verified query cache survives — steps read it only)
+                # poisoned running state — restart on the rebuilt path
                 run_d, run_i = init((n_dev, q_shard_p))
                 ss = 0
-                print(f"[knn-ring] deferred synthetic stream OOM; "
-                      f"s_block={s_block} (restarting the sweep)")
-            else:
-                print(f"[knn-ring] synthetic stream OOM; s_block={s_block} "
-                      f"(resuming at row {ss})")
+                inflight_s.clear()
             continue
+        if s_block <= 1:
+            raise e
+        s_block = max(1, s_block // 2)
+        inflight_s.clear()
+        if not _free_fence():
+            raise e
+        if deferred:
+            # the failed step's poisoned output is already in the
+            # running state: reset and restart the sweep (the
+            # verified query cache survives — steps read it only)
+            run_d, run_i = init((n_dev, q_shard_p))
+            ss = 0
+            print(f"[knn-ring] deferred synthetic stream OOM; "
+                  f"s_block={s_block} (restarting the sweep)")
+        else:
+            print(f"[knn-ring] synthetic stream OOM; s_block={s_block} "
+                  f"(resuming at row {ss})")
 
     d = run_d.reshape(-1)[:n_q]
     i = run_i.reshape(-1)[:n_q]

@@ -492,3 +492,125 @@ def test_ring_deferred_step_oom_restarts_sweep(rng, mesh, monkeypatch,
     assert "deferred synthetic stream OOM" in capsys.readouterr().out
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# non-dividing block sizes: tail steps must keep global indices exact
+# ---------------------------------------------------------------------------
+
+def test_mesh_planner_nondivisor_s_block_exact(rng, mesh, monkeypatch):
+    """The HBM planner can return an s_block that does not divide the
+    padded shard (shard_p is fixed before the plan runs): the sweep must
+    shrink its final step instead of letting the clamped dynamic_slice
+    mis-attribute global indices near each shard end (regression: row
+    labels shifted by shard_p % s_block, silently wrong neighbors)."""
+    q, s = _data(rng, n_q=6, n_s=36)  # shard=5 over 8 devices
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    monkeypatch.setattr(ks, "_auto_stream_plan",
+                        lambda *a, **kw: (kw["cache_bytes"], 3))
+    d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
+                                            q_block=8, s_block=5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_mesh_oom_halving_to_nondivisor_s_block_exact(rng, mesh,
+                                                      monkeypatch):
+    """An OOM halving from an odd s_block (5 -> 2 over shard_p=5) stops
+    dividing the shard: resume must stay index-exact via the tail step."""
+    q, s = _data(rng, n_q=6, n_s=36)
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    orig = ks._build_fold_step
+    state = {"raised": False}
+
+    def flaky(*a, **kw):
+        fn = orig(*a, **kw)
+
+        def wrapped(*args, **kw2):
+            if not state["raised"]:
+                state["raised"] = True
+                raise RuntimeError("RESOURCE_EXHAUSTED (fault injection)")
+            return fn(*args, **kw2)
+        return wrapped
+
+    monkeypatch.setattr(ks, "_build_fold_step", flaky)
+    d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
+                                            q_block=8, s_block=5)
+    assert state["raised"]
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_ring_oom_halving_to_nondivisor_blocks_exact(rng, mesh,
+                                                     monkeypatch):
+    """Ring layout: q_block and s_block halvings that stop dividing the
+    padded shards (5 -> 2 over 5) must neither shift query-cache row
+    offsets nor mislabel synthetic indices (both walks tail-step)."""
+    q, s = _data(rng, n_q=37, n_s=37)  # q_shard=shard=5 over 8 devices
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    state = {"q": False, "s": False}
+    orig_q, orig_s = ks._build_ring_qcache, ks._build_ring_step
+
+    def flaky(orig, which):
+        def builder(*a, **kw):
+            fn = orig(*a, **kw)
+
+            def wrapped(*args, **kw2):
+                if not state[which]:
+                    state[which] = True
+                    raise RuntimeError(
+                        "RESOURCE_EXHAUSTED (fault injection)")
+                return fn(*args, **kw2)
+            return wrapped
+        return builder
+
+    monkeypatch.setattr(ks, "_build_ring_qcache", flaky(orig_q, "q"))
+    monkeypatch.setattr(ks, "_build_ring_step", flaky(orig_s, "s"))
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=5, s_block=5)
+    assert state["q"] and state["s"]
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_mesh_final_drain_catches_trailing_deferred_oom(rng, mesh,
+                                                        monkeypatch,
+                                                        capsys):
+    """A deferred failure from one of the LAST _SYNC_WINDOW folds (no
+    later popleft to surface it) must be caught by the end-of-sweep
+    drain and resumed, not escape to combine()/readback."""
+    q, s = _data(rng, n_q=8, n_s=32)  # shard=4, s_block=4 -> 1 fold step
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    # drain 1 = pre-sweep verify; the single fold never pops the window,
+    # so drain 2 is the FINAL state drain
+    inj = _OneShotDrainOOM(fail_on=(2,))
+    monkeypatch.setattr(ks, "_drain", inj)
+    d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
+                                            q_block=8, s_block=4)
+    assert "deferred synthetic stream OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+
+
+def test_ring_final_drain_catches_trailing_deferred_oom(rng, mesh,
+                                                        monkeypatch,
+                                                        capsys):
+    q, s = _data(rng, n_q=8, n_s=32)  # shard=4, s_block=4 -> 1 ring step
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+    inj = _OneShotDrainOOM(fail_on=(2,))  # 1=verify, 2=final state drain
+    monkeypatch.setattr(ks, "_drain", inj)
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=4, s_block=4)
+    assert "deferred synthetic stream OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)

@@ -408,3 +408,24 @@ def test_sticky_runtime_aborts_resume_immediately(eager_knn, monkeypatch):
                             q_block=4)
     # exactly one failed synthetic call: no post-fence-failure retries
     assert embed.calls == 2
+
+
+def test_final_drain_catches_trailing_deferred_oom(eager_knn, monkeypatch,
+                                                   capsys):
+    """A deferred async failure from one of the LAST _SYNC_WINDOW folds
+    has no later popleft to surface at: the end-of-sweep drain must
+    catch it and restart the sweep — before the fix it escaped to the
+    caller's readback (take() is lazy) where no halving resume exists."""
+    queries = tagged(4, 1000.0)
+    syn = tagged(8, 0.0)
+    ref_d, ref_i = clean_result(queries, syn)
+    # one query block (no popleft), drain 1 = pre-sweep cache verify;
+    # s_block=8 -> ONE fold step, never pops the window, so drain 2 is
+    # the FINAL state drain
+    monkeypatch.setattr(knn_mod, "_drain", DrainInjector(fail_on=(2,)))
+    embed = make_embed_fn("l2")
+    d, i = knn_argmin_streamed(embed, jnp.asarray(queries),
+                               jnp.asarray(syn), s_block=8, q_block=4)
+    assert "deferred synthetic stream OOM" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
