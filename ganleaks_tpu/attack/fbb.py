@@ -83,16 +83,31 @@ def resolve_auto_engine(cfg: AttackConfig) -> AttackConfig:
     """``engine='auto'``: pick the fastest configuration for the current
     backend. On TPU that is the quickstart throughput recipe — taps-int8
     parts with the bf16 tower (rigorously bounded score error,
-    docs/PERF.md; add ``two_pass=True`` for certified-exact indices).
-    Anywhere else (CPU golden/parity runs) it is the reference-parity
-    f32 gemm fold. A non-'auto' config passes through untouched."""
+    docs/PERF.md; add ``two_pass=True`` for certified-exact indices) —
+    degraded to the bf16 'taps' recipe where int8 is infeasible at this
+    input shape (the s32 dot bound is shape-dependent: at large
+    resolutions a part's cross dot can reach 2^31 and
+    ``ops/knn._part_bounds_for`` refuses; 'auto' must not pick a config
+    that dies after data load, while an EXPLICIT engine='taps-int8'
+    still raises loudly there). Anywhere else (CPU golden/parity runs)
+    it is the reference-parity f32 gemm fold. A non-'auto' config passes
+    through untouched."""
     if cfg.engine != "auto":
         return cfg
-    if jax.default_backend() == "tpu":
-        return replace(cfg, engine="taps-int8", dtype="bfloat16",
-                       lpips_compute_dtype=cfg.lpips_compute_dtype
-                       or "bfloat16")
-    return replace(cfg, engine="gemm")
+    if jax.default_backend() != "tpu":
+        return replace(cfg, engine="gemm")
+    cfg = replace(cfg, engine="taps-int8", dtype="bfloat16",
+                  lpips_compute_dtype=cfg.lpips_compute_dtype
+                  or "bfloat16")
+    from ganleaks_tpu.ops.knn import _part_bounds_for
+    probe = jax.ShapeDtypeStruct(
+        (1, cfg.resolution, cfg.resolution, 3),
+        jnp.uint8 if cfg.uint8_storage else jnp.float32)
+    try:
+        _part_bounds_for(build_embed_fn(cfg, structured=True), probe)
+    except ValueError:
+        cfg = replace(cfg, engine="taps")
+    return cfg
 
 
 def host_stream_enabled(cfg: AttackConfig, mesh=None) -> bool:
@@ -100,15 +115,22 @@ def host_stream_enabled(cfg: AttackConfig, mesh=None) -> bool:
     pipelined host ingest on exactly where it measured strictly better
     (docs/PERF.md "Real-data end-to-end"): single-chip runs with uint8
     storage. A mesh places its own device shardings, and f32 storage
-    would pay 4x the bytes on every per-chunk re-ship."""
-    if mesh is not None or cfg.n_chips > 1 or cfg.multihost:
-        return False
+    would pay 4x the bytes on every per-chunk re-ship. A PINNED
+    host_stream=true on a mesh run raises instead of being silently
+    dropped (the config documents true/false as pins)."""
+    on_mesh = mesh is not None or cfg.n_chips > 1 or cfg.multihost
     hs = cfg.host_stream
     if isinstance(hs, str):
         if hs.strip().lower() == "auto":
-            return bool(cfg.uint8_storage)
+            return not on_mesh and bool(cfg.uint8_storage)
         raise ValueError(f"host_stream must be true/false/'auto', "
                          f"got {hs!r}")
+    if hs and on_mesh:
+        raise ValueError(
+            "host_stream=true is single-chip only (the mesh drivers "
+            "place their own device shardings); use host_stream='auto' "
+            "or n_chips=1 — silently ignoring the pin would betray the "
+            "config")
     return bool(hs)
 
 
@@ -124,24 +146,31 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
     """
     logger = logger or MetricsLogger(echo=False)
+    if cfg.shard_layout not in ("sharded", "ring"):
+        raise ValueError(f"shard_layout must be 'sharded' or 'ring', "
+                         f"got {cfg.shard_layout!r}")
     if cfg.engine == "auto":
         cfg = resolve_auto_engine(cfg)
         logger.log({"engine_resolved": cfg.engine, "dtype": cfg.dtype})
-    # every embed closure is built ONCE: the per-closure compile caches
+    # each embed closure is built ONCE — the per-closure compile caches
     # (fused embed+norms, mesh shard_map wrappers) live on the closure
     # object, so rebuilding per search() would recompile the whole tower
-    # for the neg query set (~40s apiece on remote-compile backends)
+    # for the neg query set (~40s apiece on remote-compile backends) —
+    # and ONLY for the branch the selected engine reads: every build
+    # loads the LPIPS weights, and the flat form is dead on the
+    # structured and two-pass paths
     structured = cfg.engine in ("taps", "taps-int8")
-    embed = build_embed_fn(cfg)
-    embed_struct = build_embed_fn(cfg, structured=True) if structured \
-        else None
-    embed_lo = embed_hi = None
+    embed = embed_struct = embed_lo = embed_hi = None
     if cfg.two_pass:
         lo_cfg = replace(cfg, dtype="bfloat16",
                          lpips_compute_dtype="bfloat16")
         hi_cfg = replace(cfg, dtype="float32", lpips_compute_dtype=None)
         embed_lo = build_embed_fn(lo_cfg, structured=structured)
         embed_hi = build_embed_fn(hi_cfg)
+    elif structured:
+        embed_struct = build_embed_fn(cfg, structured=True)
+    else:
+        embed = build_embed_fn(cfg)
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77
         k = truncate_to_batches(len(syn), cfg.BATCH_SIZE)

@@ -160,6 +160,14 @@ class HostImageSet:
         rows = np.asarray(idx)
         if rows.ndim != 1:
             raise TypeError(f"HostImageSet: unsupported index {idx!r}")
+        if rows.dtype == bool:
+            # numpy boolean-mask semantics — treating the mask as int
+            # indices would silently return copies of rows 0/1
+            if len(rows) != len(self):
+                raise IndexError(
+                    f"boolean mask of length {len(rows)} does not match "
+                    f"HostImageSet of length {len(self)}")
+            rows = np.nonzero(rows)[0]
         rows = np.where(rows < 0, rows + len(self), rows)
         if rows.size and (rows.min() < 0 or rows.max() >= len(self)):
             raise IndexError(f"index out of range for HostImageSet of "

@@ -198,6 +198,72 @@ def _should_demote(dtype) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _prepare_tiles(emb_q, emb_s, rq, rs, q_block, s_block, k_block,
+                   demote, vmem_clamp):
+    """Shared prologue of both kernels: demote/norms, tile defaults, the
+    VMEM clamp loop, padding, and the (grid, in_specs) layout — the two
+    kernels differ only in kernel fn, output width, and scratch shapes.
+    Returns (q, s, rq_p, rs_p, grid, in_specs, q_block, s_block)."""
+    n_q, k_dim = emb_q.shape
+    n_s = emb_s.shape[0]
+    if demote is None:
+        demote = _should_demote(emb_q.dtype)
+    if rq is None:
+        rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
+    if rs is None:
+        rs = jnp.sum(jnp.square(emb_s.astype(jnp.float32)), axis=1)
+    if demote and jnp.dtype(emb_q.dtype).itemsize >= 4:
+        emb_q = emb_q.astype(jnp.bfloat16)
+        emb_s = emb_s.astype(jnp.bfloat16)
+
+    # tile defaults (0 = auto) follow the 2026-08-16 v5e sweep
+    # (tools/tune_knn.py at 2000x4096, K=512k): maximal q tile (queries
+    # are re-streamed once per s tile), s up to 2048, k=512
+    wide = jnp.dtype(emb_q.dtype).itemsize >= 4
+    if q_block == 0:
+        q_block = min(1024 if wide else 2048, n_q)
+    if s_block == 0:
+        s_block = 1024 if wide else 2048
+    if k_block == 0:
+        k_block = 256 if wide else 512
+    q_block = min(q_block, max(8, n_q))
+    s_block = min(s_block, max(128, n_s))
+    k_block = min(k_block, max(128, k_dim))
+    # clamp the estimated VMEM footprint to ~72 MB (the scoped-vmem limit
+    # in the callers is raised to 3/4 of the generation's physical VMEM;
+    # vmem_clamp=False for explicit tile sweeps, e.g. tools/tune_knn.py)
+    while vmem_clamp and _vmem_estimate(
+            q_block, s_block, k_block, emb_q.dtype) \
+            > _device_vmem_bytes() * 9 // 16:
+        if s_block >= q_block and s_block > 128:
+            s_block //= 2
+        elif q_block > 8:
+            q_block //= 2
+        else:
+            break
+
+    q = _pad_axis(_pad_axis(emb_q, 0, q_block), 1, k_block)
+    s = _pad_axis(_pad_axis(emb_s, 0, s_block), 1, k_block)
+    rq_p = _pad_axis(rq, 0, q_block).reshape(-1, 1)          # (nq_p, 1)
+    rs_p = _pad_axis(rs, 0, s_block,
+                     value=jnp.inf).reshape(1, -1)           # (1, ns_p)
+
+    nq_p, k_p = q.shape
+    ns_p = s.shape[0]
+    grid = (nq_p // q_block, ns_p // s_block, k_p // k_block)
+    in_specs = [
+        pl.BlockSpec((q_block, k_block), lambda qi, si, ki: (qi, ki),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s_block, k_block), lambda qi, si, ki: (si, ki),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_block, 1), lambda qi, si, ki: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s_block), lambda qi, si, ki: (0, si),
+                     memory_space=pltpu.VMEM),
+    ]
+    return q, s, rq_p, rs_p, grid, in_specs, q_block, s_block
+
+
 @partial(jax.jit, static_argnames=("q_block", "s_block", "k_block",
                                    "interpret", "vmem_clamp", "demote"))
 def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 0,
@@ -226,65 +292,18 @@ def knn_argmin_pallas(emb_q: Array, emb_s: Array, *, q_block: int = 0,
     re-streamed once per s tile), s up to 2048, k=512 — 133.7M pairs/s vs
     the XLA gemm engine's 131.7M (bf16 streams).
     """
-    n_q, k_dim = emb_q.shape
-    n_s = emb_s.shape[0]
-    if demote is None:
-        demote = _should_demote(emb_q.dtype)
-
-    if rq is None:
-        rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
-    if rs is None:
-        rs = jnp.sum(jnp.square(emb_s.astype(jnp.float32)), axis=1)
-    if demote and jnp.dtype(emb_q.dtype).itemsize >= 4:
-        emb_q = emb_q.astype(jnp.bfloat16)
-        emb_s = emb_s.astype(jnp.bfloat16)
-
-    wide = jnp.dtype(emb_q.dtype).itemsize >= 4
-    if q_block == 0:
-        q_block = min(1024 if wide else 2048, n_q)
-    if s_block == 0:
-        s_block = 1024 if wide else 2048
-    if k_block == 0:
-        k_block = 256 if wide else 512
-    q_block = min(q_block, max(8, n_q))
-    s_block = min(s_block, max(128, n_s))
-    k_block = min(k_block, max(128, k_dim))
-    # clamp the estimated VMEM footprint to ~72 MB (the scoped-vmem limit
-    # below is raised to 96 MB of the v5e's 128 MB physical VMEM;
-    # vmem_clamp=False for explicit tile sweeps, e.g. tools/tune_knn.py)
-    while vmem_clamp and _vmem_estimate(
-            q_block, s_block, k_block, emb_q.dtype) \
-            > _device_vmem_bytes() * 9 // 16:
-        if s_block >= q_block and s_block > 128:
-            s_block //= 2
-        elif q_block > 8:
-            q_block //= 2
-        else:
-            break
-
-    q = _pad_axis(_pad_axis(emb_q, 0, q_block), 1, k_block)
-    s = _pad_axis(_pad_axis(emb_s, 0, s_block), 1, k_block)
-    rq_p = _pad_axis(rq, 0, q_block).reshape(-1, 1)          # (nq_p, 1)
-    rs_p = _pad_axis(rs, 0, s_block,
-                     value=jnp.inf).reshape(1, -1)           # (1, ns_p)
-
+    n_q, n_s = emb_q.shape[0], emb_s.shape[0]
+    (q, s, rq_p, rs_p, grid, in_specs,
+     q_block, s_block) = _prepare_tiles(emb_q, emb_s, rq, rs, q_block,
+                                        s_block, k_block, demote,
+                                        vmem_clamp)
     nq_p, k_p = q.shape
     ns_p = s.shape[0]
-    grid = (nq_p // q_block, ns_p // s_block, k_p // k_block)
 
     min_out, idx_out = pl.pallas_call(
         _knn_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((q_block, k_block), lambda qi, si, ki: (qi, ki),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_block, k_block), lambda qi, si, ki: (si, ki),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_block, 1), lambda qi, si, ki: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_block), lambda qi, si, ki: (0, si),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((q_block, 1), lambda qi, si, ki: (qi, 0),
                          memory_space=pltpu.VMEM),
@@ -338,60 +357,18 @@ def knn_topk_pallas(emb_q: Array, emb_s: Array, *, k: int = 4,
     (``ops/knn.knn_argmin_two_pass``): the XLA fold pays a
     ``lax.top_k`` sort per (q_block x s_block) tile, this kernel pays k
     VPU min-extractions per s tile only at the last K step."""
-    n_q, k_dim = emb_q.shape
-    n_s = emb_s.shape[0]
-    if demote is None:
-        demote = _should_demote(emb_q.dtype)
-    if rq is None:
-        rq = jnp.sum(jnp.square(emb_q.astype(jnp.float32)), axis=1)
-    if rs is None:
-        rs = jnp.sum(jnp.square(emb_s.astype(jnp.float32)), axis=1)
-    if demote and jnp.dtype(emb_q.dtype).itemsize >= 4:
-        emb_q = emb_q.astype(jnp.bfloat16)
-        emb_s = emb_s.astype(jnp.bfloat16)
-
-    wide = jnp.dtype(emb_q.dtype).itemsize >= 4
-    if q_block == 0:
-        q_block = min(1024 if wide else 2048, n_q)
-    if s_block == 0:
-        s_block = 1024 if wide else 2048
-    if k_block == 0:
-        k_block = 256 if wide else 512
-    q_block = min(q_block, max(8, n_q))
-    s_block = min(s_block, max(128, n_s))
-    k_block = min(k_block, max(128, k_dim))
-    while vmem_clamp and _vmem_estimate(
-            q_block, s_block, k_block, emb_q.dtype) \
-            > _device_vmem_bytes() * 9 // 16:
-        if s_block >= q_block and s_block > 128:
-            s_block //= 2
-        elif q_block > 8:
-            q_block //= 2
-        else:
-            break
-
-    q = _pad_axis(_pad_axis(emb_q, 0, q_block), 1, k_block)
-    s = _pad_axis(_pad_axis(emb_s, 0, s_block), 1, k_block)
-    rq_p = _pad_axis(rq, 0, q_block).reshape(-1, 1)
-    rs_p = _pad_axis(rs, 0, s_block, value=jnp.inf).reshape(1, -1)
-
+    n_q, n_s = emb_q.shape[0], emb_s.shape[0]
+    (q, s, rq_p, rs_p, grid, in_specs,
+     q_block, s_block) = _prepare_tiles(emb_q, emb_s, rq, rs, q_block,
+                                        s_block, k_block, demote,
+                                        vmem_clamp)
     nq_p, k_p = q.shape
     ns_p = s.shape[0]
-    grid = (nq_p // q_block, ns_p // s_block, k_p // k_block)
 
     d_out, i_out = pl.pallas_call(
         partial(_knn_topk_kernel, k),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((q_block, k_block), lambda qi, si, ki: (qi, ki),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_block, k_block), lambda qi, si, ki: (si, ki),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_block, 1), lambda qi, si, ki: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_block), lambda qi, si, ki: (0, si),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((q_block, k), lambda qi, si, ki: (qi, 0),
                          memory_space=pltpu.VMEM),

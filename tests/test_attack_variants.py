@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ganleaks_tpu.attack.eval_roc import evaluate
 from ganleaks_tpu.attack.reconstruction import fbb_tabular, reconstruction_scores
@@ -166,3 +167,47 @@ def test_run_attack_params_dump_records_resolved_engine(rng, tmp_path):
     # the metrics stream keeps its engine_resolved record too
     metrics = open(os.path.join(exp, "metrics.jsonl")).read()
     assert '"engine_resolved": "gemm"' in metrics
+
+
+def test_engine_auto_degrades_int8_at_infeasible_resolution(monkeypatch):
+    """At resolutions where a part's s8xs8->s32 cross dot can reach 2^31
+    (pixel part at >=256x256), 'auto' must degrade to the bf16 taps
+    recipe instead of picking taps-int8 and dying after data load."""
+    from ganleaks_tpu.attack.fbb import resolve_auto_engine
+    from ganleaks_tpu.config import AttackConfig
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    big = resolve_auto_engine(AttackConfig(distance="l2", engine="auto",
+                                           resolution=256))
+    assert (big.engine, big.dtype) == ("taps", "bfloat16")
+    ok = resolve_auto_engine(AttackConfig(distance="l2", engine="auto",
+                                          resolution=64))
+    assert ok.engine == "taps-int8"
+
+
+def test_pinned_host_stream_on_mesh_raises():
+    """host_stream=true is documented as a pin: a mesh run must refuse
+    it loudly, not silently decode+device-place the sets."""
+    from ganleaks_tpu.attack.fbb import host_stream_enabled
+    from ganleaks_tpu.config import AttackConfig
+
+    with pytest.raises(ValueError, match="single-chip only"):
+        host_stream_enabled(AttackConfig(host_stream=True, n_chips=2))
+    # 'auto' quietly resolves off on a mesh (no pin to betray)
+    assert host_stream_enabled(
+        AttackConfig(host_stream="auto", n_chips=2)) is False
+    assert host_stream_enabled(
+        AttackConfig(host_stream=True, n_chips=1)) is True
+
+
+def test_unknown_shard_layout_rejected(rng):
+    """A shard_layout typo must fail loudly, not silently run the
+    'sharded' layout while params.txt records the bogus string."""
+    from ganleaks_tpu.attack.fbb import attack_arrays
+    from ganleaks_tpu.config import AttackConfig
+
+    syn = rng.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
+    q = syn[:2]
+    with pytest.raises(ValueError, match="shard_layout"):
+        attack_arrays(AttackConfig(distance="l2", shard_layout="Ring"),
+                      syn, q, q)

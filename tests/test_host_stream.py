@@ -197,3 +197,15 @@ def test_host_stream_auto_resolution():
     assert not host_stream_enabled(AttackConfig(host_stream=False))
     with pytest.raises(ValueError, match="host_stream"):
         host_stream_enabled(AttackConfig(host_stream="sometimes"))
+
+
+def test_boolean_mask_indexing(png_dir):
+    """A boolean mask must select rows numpy-style (regression: it was
+    read as integer indices 0/1, returning copies of the first rows)."""
+    hs = HostImageSet(png_dir, 16, dtype=np.uint8, readahead=False)
+    eager = np.asarray(hs)
+    mask = np.zeros(len(hs), bool)
+    mask[[2, 5, 7]] = True
+    np.testing.assert_array_equal(hs[mask], eager[mask])
+    with pytest.raises(IndexError, match="boolean mask"):
+        _ = hs[np.ones(3, bool)]
