@@ -49,10 +49,18 @@ def evaluate(cfg: EvalConfig, pos_loss: np.ndarray | None = None,
                                        cfg.attack_type)
         pos_ref = np.asarray(pos_ref, np.float32).reshape(-1)
         neg_ref = np.asarray(neg_ref, np.float32).reshape(-1)
-        n_pos = min(len(pos_loss), len(pos_ref))
-        n_neg = min(len(neg_loss), len(neg_ref))
-        pos_cal = pos_loss[:n_pos] - pos_ref[:n_pos]
-        neg_cal = neg_loss[:n_neg] - neg_ref[:n_neg]
+        # calibration pairs by INDEX (loss_i - ref_loss_i must be the
+        # same query i, eval_roc.py:86-103): a length mismatch means the
+        # runs used different query sets and silent truncation would
+        # report a plausible but meaningless calibrated AUC
+        if len(pos_ref) != len(pos_loss) or len(neg_ref) != len(neg_loss):
+            raise ValueError(
+                f"calibration length mismatch: result has "
+                f"{len(pos_loss)} pos / {len(neg_loss)} neg losses, "
+                f"reference has {len(pos_ref)} / {len(neg_ref)} — the "
+                f"runs must score the same query sets in the same order")
+        pos_cal = pos_loss - pos_ref
+        neg_cal = neg_loss - neg_ref
         cal = roc_curve_auc(jnp.asarray(-pos_cal), jnp.asarray(-neg_cal),
                             cfg.precision_threshold)
         out.update({"auc_calibrated": float(cal.auc),

@@ -59,8 +59,13 @@ def read_image_center_crop(filepath: str, resolution: int = 64,
     """Center-crop-variant reader (``gan_models/vaegan/utils.py:44-71``).
 
     Crops [cy-64:cy+64, cx-64:cx+64], then repeatedly 2x box-downsamples from
-    128 down to ``resolution`` with rint/clip round-tripping through uint8,
-    exactly as the reference does.
+    128 down to ``resolution`` with rint/clip round-tripping through uint8.
+    Bit-identical to the reference at its only used resolution (64, one
+    halving). DIVERGENCE (see DIVERGENCES.md): the reference decrements its
+    resize factor by 1 per halving instead of halving it
+    (``vaegan/utils.py:63-66``), so below 64 it returns the WRONG shape
+    (resolution=32 -> a 16x16 image) and crashes any consumer that stacks
+    the batch; we halve log2(factor) times, matching the native loader.
     """
     pil = PIL.Image.open(filepath)
     if pil.mode != "RGB":
@@ -73,7 +78,7 @@ def read_image_center_crop(filepath: str, resolution: int = 64,
         while resize_factor > 1:
             img = (img[0::2, 0::2, :] + img[0::2, 1::2, :]
                    + img[1::2, 0::2, :] + img[1::2, 1::2, :]) * 0.25
-            resize_factor -= 1
+            resize_factor //= 2
         img = np.rint(img).clip(0, 255).astype(np.uint8)
     img = img.astype(np.float32) / 255.0
     return img * 2.0 - 1.0

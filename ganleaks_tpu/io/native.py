@@ -137,7 +137,16 @@ def save_png_batch_native(images_u8: np.ndarray, paths: list,
     defaults to 1 (best speed): the dump is a bulk artifact whose only
     consumers re-decode it. Per-image PIL fallback on any encode error;
     full PIL fallback when the library isn't built."""
-    images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
+    images_u8 = np.asarray(images_u8)
+    if images_u8.dtype != np.uint8:
+        # an implicit C-cast would silently corrupt the dump ([0,1]
+        # floats become all 0s/1s, negatives wrap mod 256) — callers own
+        # the quantization step (io.images.to_uint8, which also owns the
+        # floor-vs-rint parity choice)
+        raise TypeError(
+            f"save_png_batch_native expects uint8 pixels, got "
+            f"{images_u8.dtype}; convert with io.images.to_uint8 first")
+    images_u8 = np.ascontiguousarray(images_u8)
     n, h, w, c = images_u8.shape
     # a real error, not an assert (stripped under python -O): mismatched
     # lengths would hand the C encoder NULL path slots, a wrong channel

@@ -101,7 +101,11 @@ def roc_curve_auc(pos_scores: Array, neg_scores: Array,
     denom = jnp.sum(pred)
     precision = jnp.where(denom > 0, tp / denom, 0.0)
 
-    return RocResult(fpr=fpr_k[1:], tpr=tpr_k[1:], thresholds=s,
+    # the returned curve INCLUDES the (0, 0) origin at index 0 (sklearn's
+    # prepended threshold-inf point) — dropping it plotted roc.png curves
+    # that start at the first real threshold instead of the origin
+    thr = jnp.concatenate([jnp.full((1,), jnp.inf, s.dtype), s])
+    return RocResult(fpr=fpr_k, tpr=tpr_k, thresholds=thr,
                      auc=auc, ap=ap, precision=precision, mask=is_last)
 
 

@@ -37,6 +37,17 @@ def read_identity_annotations(path: str) -> dict[str, list[str]]:
     with open(path) as f:
         for line in f:
             annotation, identity = line.strip().split()
+            if not diz and annotation.lower().endswith(
+                    (".jpg", ".jpeg", ".png")):
+                # the OFFICIAL identity_CelebA.txt is '<filename> <id>' —
+                # the opposite order. Grouping by filename makes every
+                # pool empty/garbage silently; fail loudly instead.
+                raise ValueError(
+                    f"{path}: first token {annotation!r} looks like a "
+                    f"filename — this tool (like the reference, "
+                    f"z_split.py:34-38) expects '<identity> <filename>' "
+                    f"lines; swap the columns of the standard CelebA "
+                    f"identity file before splitting")
             diz.setdefault(annotation, []).append(identity)
     return diz
 
@@ -46,6 +57,13 @@ def select_images(diz: dict[str, list[str]], num_images: int,
     """Private/public image lists (``z_split.py:41-66``)."""
     private_ids = [i for i in diz if len(diz[i]) == num_same_id]
     public_ids = [i for i in diz if len(diz[i]) < num_same_id]
+    if not private_ids:
+        raise ValueError(
+            f"no identity has exactly num_same_id={num_same_id} images — "
+            f"empty member pool (identity counts range "
+            f"{min(map(len, diz.values()))}..{max(map(len, diz.values()))}"
+            f" over {len(diz)} identities); check the annotation file's "
+            f"column order and num_same_id")
     assert not any(a in private_ids for a in public_ids), \
         "The two lists are not disjoint!"
     assert num_images % 30 == 0, (
@@ -97,7 +115,12 @@ def run_split(cfg: SplitConfig) -> dict[str, int]:
         os.makedirs(d, exist_ok=True)
 
     rng = np.random.default_rng(cfg.seed)
-    packs: dict[str, list[np.ndarray]] = {"train": [], "pos": [], "neg": []}
+    # packed rows carry their output FILENAME so the array can be stacked
+    # in sorted-filename order — the exact row order every PNG consumer
+    # sees (io.images.get_filepaths_from_dir sorts); stacking in
+    # annotation-iteration order would silently mispair rows against
+    # glob-derived artifacts
+    packs: dict[str, list] = {"train": [], "pos": [], "neg": []}
 
     for img_name in private_images:
         img_id = img_name.split(".")[0]
@@ -109,10 +132,11 @@ def run_split(cfg: SplitConfig) -> dict[str, int]:
         PIL.Image.fromarray(crop).save(
             os.path.join(cfg.output_dir1, img_id + ".png"))
         for suffix, arr in (("", crop), ("_a1", a1), ("_a2", a2)):
+            fn = img_id + suffix + ".png"
             PIL.Image.fromarray(arr).save(
-                os.path.join(cfg.output_dir0, img_id + suffix + ".png"))
-            packs["train"].append(arr)
-        packs["pos"].append(crop)
+                os.path.join(cfg.output_dir0, fn))
+            packs["train"].append((fn, arr))
+        packs["pos"].append((img_id + ".png", crop))
 
     for img_name in public_images:
         img_id = img_name.split(".")[0]
@@ -121,13 +145,13 @@ def run_split(cfg: SplitConfig) -> dict[str, int]:
         crop = center_crop_128(raw)
         PIL.Image.fromarray(crop).save(
             os.path.join(cfg.output_dir2, img_id + ".png"))
-        packs["neg"].append(crop)
+        packs["neg"].append((img_id + ".png", crop))
 
-    # packed array files for fast TPU feeding
+    # packed array files for fast TPU feeding, row i == sorted PNG i
     for name, d in (("train", cfg.output_dir0), ("pos", cfg.output_dir1),
                     ("neg", cfg.output_dir2)):
         if packs[name]:
             np.save(os.path.join(d, f"_packed_{name}.npy"),
-                    np.stack(packs[name]))
+                    np.stack([arr for _, arr in sorted(packs[name])]))
     return {"members": len(private_images),
             "non_members": len(public_images)}

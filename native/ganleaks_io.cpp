@@ -77,7 +77,15 @@ int decode_png_rgb(const char* path, Image* out) {
   // PIL.Image.open on RGB-consumed PNGs; tRNS is never expanded to alpha)
   png_byte color = png_get_color_type(png, info);
   png_byte depth = png_get_bit_depth(png, info);
-  if (depth == 16) png_set_strip_16(png);
+  if (depth == 16) {
+    // 16-bit inputs route to the PIL fallback: png_set_strip_16 keeps the
+    // high byte, while PIL opens 16-bit grayscale as mode 'I' and its RGB
+    // conversion CLIPS at 255 — silently diverging from the bit-parity
+    // contract. Let the one authoritative reader decide.
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return kErrDecode;
+  }
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
@@ -94,11 +102,31 @@ int decode_png_rgb(const char* path, Image* out) {
 
   out->w = static_cast<int>(png_get_image_width(png, info));
   out->h = static_cast<int>(png_get_image_height(png, info));
+  // cap header-declared dimensions BEFORE allocating: a crafted/corrupt
+  // IHDR can declare up to libpng's 1Mx1M default and the resize below
+  // would request terabytes (std::bad_alloc escaping the decode worker
+  // would std::terminate the whole process). 64M pixels = 192 MB RGB —
+  // far above any real dataset image, far below harm.
+  if (out->w <= 0 || out->h <= 0 ||
+      static_cast<size_t>(out->w) * out->h > (64u << 20)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return kErrDecode;
+  }
   out->pixels.resize(static_cast<size_t>(out->w) * out->h * 3);
-
   std::vector<png_bytep> rows(out->h);
   for (int y = 0; y < out->h; ++y)
     rows[y] = out->pixels.data() + static_cast<size_t>(y) * out->w * 3;
+  // re-arm the jump target now that rows/pixels are fully constructed:
+  // a libpng error in png_read_image/_end lands HERE with both alive in
+  // scope, so their destructors run on return — the first setjmp would
+  // have been longjmp'd over their construction (UB + h*8 bytes leaked
+  // per failed decode; encode_png_rgb's comment has the rationale)
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return kErrDecode;
+  }
   png_read_image(png, rows.data());
   png_read_end(png, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
@@ -223,9 +251,18 @@ int gl_load_batch(const char** paths, int n, int resolution, int mode,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      Image img;
-      int rc = decode_png_rgb(paths[i], &img);
-      if (rc == kOk) rc = postprocess(img, resolution, mode, out + stride * i);
+      int rc;
+      try {
+        Image img;
+        rc = decode_png_rgb(paths[i], &img);
+        if (rc == kOk)
+          rc = postprocess(img, resolution, mode, out + stride * i);
+      } catch (...) {
+        // an exception escaping a std::thread is std::terminate — the
+        // per-image contract is "status[i] nonzero => PIL fallback",
+        // never process death
+        rc = kErrDecode;
+      }
       status[i] = rc;
       if (rc != kOk) failures.fetch_add(1);
     }
@@ -254,8 +291,13 @@ int gl_save_batch(const char** paths, int n, int h, int w,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      const int rc =
-          encode_png_rgb(paths[i], data + stride * i, h, w, compress_level);
+      int rc;
+      try {
+        rc = encode_png_rgb(paths[i], data + stride * i, h, w,
+                            compress_level);
+      } catch (...) {
+        rc = kErrDecode;  // same never-terminate contract as the loader
+      }
       status[i] = rc;
       if (rc != kOk) failures.fetch_add(1);
     }
@@ -269,6 +311,6 @@ int gl_save_batch(const char** paths, int n, int h, int w,
   return failures.load();
 }
 
-int gl_version() { return 2; }
+int gl_version() { return 3; }
 
 }  // extern "C"

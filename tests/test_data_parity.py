@@ -60,3 +60,55 @@ def test_random_hflip_leading_axes(rng):
     states = {(s, b): bool((out[s, b] == src[s, b]).all())
               for s in range(4) for b in range(16)}
     assert 10 < sum(states.values()) < 54
+
+
+def test_center_crop_reader_correct_below_64(tmp_path):
+    """The reference decrements its downsample factor (vaegan/utils.py:
+    63-66) — resolution=32 returned a 16x16 image. We halve log2(factor)
+    times: correct shapes at every power-of-two resolution, bit-parity
+    at 64 (the only resolution the reference uses). DIVERGENCES.md."""
+    import PIL.Image
+
+    from ganleaks_tpu.io.images import read_image_center_crop
+    from ganleaks_tpu.io.native import MODE_CENTER_CROP, load_image_paths_native
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (218, 178, 3), dtype=np.uint8)
+    p = str(tmp_path / "celeba.png")
+    PIL.Image.fromarray(raw).save(p)
+    for res in (128, 64, 32, 16):
+        out = read_image_center_crop(p, res)
+        assert out.shape == (res, res, 3), res
+        nat = load_image_paths_native([p], res, mode=MODE_CENTER_CROP)
+        np.testing.assert_allclose(nat[0], out, atol=1e-6)
+
+
+def test_save_png_batch_native_rejects_float(tmp_path):
+    from ganleaks_tpu.io.native import save_png_batch_native
+
+    with pytest.raises(TypeError, match="uint8"):
+        save_png_batch_native(np.zeros((1, 4, 4, 3), np.float32),
+                              [str(tmp_path / "x.png")])
+
+
+def test_native_corrupt_png_falls_back_not_terminates(tmp_path):
+    """A truncated PNG must surface as a catchable per-image failure
+    (status -> PIL fallback -> Python exception), never process death
+    from an exception escaping the decode worker thread."""
+    import PIL.Image
+
+    from ganleaks_tpu.io.native import load_image_paths_native
+
+    good = str(tmp_path / "good.png")
+    PIL.Image.fromarray(
+        np.zeros((8, 8, 3), np.uint8)).save(good)
+    bad = str(tmp_path / "bad.png")
+    with open(good, "rb") as f:
+        blob = f.read()
+    with open(bad, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # truncated mid-stream
+    with pytest.raises(Exception):
+        load_image_paths_native([good, bad], 8)
+    # and the good file alone still decodes
+    out = load_image_paths_native([good], 8)
+    assert out.shape == (1, 8, 8, 3)

@@ -158,3 +158,49 @@ def test_fid_mesh_handles_indivisible_batches(rng):
                          mesh=mesh)
     assert a1.shape == (13, 2048)
     np.testing.assert_allclose(a0, a1, rtol=2e-4, atol=2e-5)
+
+
+def test_z_split_rejects_filename_first_annotations(tmp_path, rng):
+    """The standard identity_CelebA.txt is '<filename> <identity>' —
+    the opposite of the reference's expected order. Feeding it must
+    fail loudly, not produce an empty member pool / garbage split."""
+    img_dir, ann = make_fake_celeba(tmp_path, rng)
+    swapped = tmp_path / "swapped.txt"
+    swapped.write_text("\n".join(
+        " ".join(reversed(line.split()))
+        for line in open(ann).read().splitlines()) + "\n")
+    cfg = SplitConfig(num_images=30, identity_annotations=str(swapped),
+                      input_dir=img_dir,
+                      output_dir0=str(tmp_path / "t"),
+                      output_dir1=str(tmp_path / "p"),
+                      output_dir2=str(tmp_path / "n"), num_same_id=4)
+    with pytest.raises(ValueError, match="looks like a filename"):
+        run_split(cfg)
+    # and an id-first file where nothing hits num_same_id fails loudly too
+    cfg2 = SplitConfig(num_images=30, identity_annotations=ann,
+                       input_dir=img_dir,
+                       output_dir0=str(tmp_path / "t2"),
+                       output_dir1=str(tmp_path / "p2"),
+                       output_dir2=str(tmp_path / "n2"), num_same_id=7)
+    with pytest.raises(ValueError, match="empty member pool"):
+        run_split(cfg2)
+
+
+def test_z_split_packed_rows_match_sorted_pngs(tmp_path, rng):
+    """Packed array row i must equal sorted-glob PNG i (the order every
+    consumer reads the directory in)."""
+    from ganleaks_tpu.io.images import get_filepaths_from_dir
+
+    img_dir, ann = make_fake_celeba(tmp_path, rng)
+    cfg = SplitConfig(num_images=30, identity_annotations=ann,
+                      input_dir=img_dir,
+                      output_dir0=str(tmp_path / "train"),
+                      output_dir1=str(tmp_path / "pos"),
+                      output_dir2=str(tmp_path / "neg"), num_same_id=4)
+    run_split(cfg)
+    packed = np.load(tmp_path / "train" / "_packed_train.npy")
+    paths = get_filepaths_from_dir(str(tmp_path / "train"), "png")
+    assert len(paths) == len(packed) == 30
+    for i in (0, 7, 29):
+        np.testing.assert_array_equal(
+            packed[i], np.asarray(PIL.Image.open(paths[i])))

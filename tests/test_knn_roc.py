@@ -200,3 +200,48 @@ def test_roc_monotone_transform_invariance(rng):
     f = lambda s: np.tanh(s / 3.0) * 5.0
     a2 = float(roc_curve_auc(jnp.asarray(f(pos)), jnp.asarray(f(neg))).auc)
     np.testing.assert_allclose(a1, a2, atol=1e-6)
+
+
+def test_roc_curve_includes_origin_and_matches_sklearn():
+    """fpr/tpr must carry sklearn's prepended (0,0) threshold-inf point
+    (regression: the plotted roc.png started at the first real
+    threshold instead of the origin)."""
+    import sklearn.metrics as skm
+
+    from ganleaks_tpu.ops.roc import roc_curve_auc
+
+    rng = np.random.default_rng(5)
+    pos = rng.normal(1.0, 1.0, 40).astype(np.float32)
+    neg = rng.normal(0.0, 1.0, 60).astype(np.float32)
+    pos[3:7] = neg[10:14]  # ties across classes
+    res = roc_curve_auc(jnp.asarray(pos), jnp.asarray(neg))
+    y = np.concatenate([np.ones(40), np.zeros(60)])
+    s = np.concatenate([pos, neg])
+    fpr_sk, tpr_sk, thr_sk = skm.roc_curve(y, s, drop_intermediate=False)
+    fpr, tpr = np.asarray(res.fpr), np.asarray(res.tpr)
+    assert fpr[0] == 0.0 and tpr[0] == 0.0
+    # ours keeps carried-forward duplicates at tie rows; sklearn collapses
+    # them — compare the deduplicated point sets
+    ours = np.unique(np.stack([fpr, tpr], 1), axis=0)
+    theirs = np.unique(np.stack([fpr_sk, tpr_sk], 1), axis=0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+    assert np.isinf(np.asarray(res.thresholds)[0])
+
+
+def test_eval_roc_calibration_length_mismatch_raises(rng, tmp_path):
+    """Calibration pairs losses by index: result/reference runs over
+    different query counts must raise, not silently truncate into a
+    plausible-looking calibrated AUC."""
+    import os
+
+    from ganleaks_tpu.attack.eval_roc import evaluate
+    from ganleaks_tpu.config import EvalConfig
+
+    d_main, d_ref = tmp_path / "main", tmp_path / "ref"
+    for d, n in ((d_main, 50), (d_ref, 30)):
+        os.makedirs(d)
+        np.save(d / "pos_loss.npy", rng.random(n).reshape(-1, 1))
+        np.save(d / "neg_loss.npy", rng.random(n).reshape(-1, 1))
+    with pytest.raises(ValueError, match="length mismatch"):
+        evaluate(EvalConfig(result_load_dir=str(d_main),
+                            reference_load_dir=str(d_ref)))
