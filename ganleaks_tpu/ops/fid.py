@@ -32,6 +32,26 @@ def init_inception_params(seed: int = 0) -> dict:
                       jnp.zeros((1, 299, 299, 3)))
 
 
+_FORWARD_CACHE: dict = {}
+
+
+def _forward_pool3(mesh=None):
+    """Module-cached jitted Inception forward (params passed as an
+    ARGUMENT so jax's own cache hits across ``get_activations`` calls —
+    a per-call closure recompiled the ~300-op graph on every FID
+    evaluation, twice per fid_from_* call)."""
+    if mesh not in _FORWARD_CACHE:
+        model = InceptionV3Pool3()
+        fn = lambda params, x: model.apply(params, preprocess(x))
+        if mesh is None:
+            _FORWARD_CACHE[mesh] = jax.jit(fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            _FORWARD_CACHE[mesh] = jax.jit(
+                fn, out_shardings=NamedSharding(mesh, P()))
+    return _FORWARD_CACHE[mesh]
+
+
 def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
                     drop_remainder: bool = True, mesh=None) -> np.ndarray:
     """pool_3 activations for [0,255]-range NHWC images
@@ -41,7 +61,7 @@ def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
     leading axis (one tower per chip, no cross-chip comms until the tiny
     replicated output), so featurize throughput scales linearly in chips.
     ``batch_size`` should then be a multiple of the mesh size."""
-    model = InceptionV3Pool3()
+    fwd = _forward_pool3(mesh)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -51,10 +71,6 @@ def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
         data_sh = NamedSharding(mesh, P(axis, None, None, None))
         params = jax.device_put(params, rep)
 
-        @partial(jax.jit, out_shardings=rep)
-        def forward_mesh(x):
-            return model.apply(params, preprocess(x))
-
         def forward(x):
             # pad rows to a mesh multiple (any batch_size/directory size
             # works), slice the replicated output back
@@ -63,15 +79,11 @@ def get_activations(params: dict, images: np.ndarray, batch_size: int = 50,
             if pad:
                 x = np.concatenate(
                     [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-            out = forward_mesh(jax.device_put(jnp.asarray(x), data_sh))
+            out = fwd(params, jax.device_put(jnp.asarray(x), data_sh))
             return out[:rows]
     else:
-        @jax.jit
-        def forward_jit(x):
-            return model.apply(params, preprocess(x))
-
         def forward(x):
-            return forward_jit(jnp.asarray(x))
+            return fwd(params, jnp.asarray(x))
 
     n = len(images)
     if batch_size > n:

@@ -179,6 +179,11 @@ def preprocess(images_uint8_range: Array, size: int = 299) -> Array:
     (bilinear, matching torchvision's FID convention)."""
     x = images_uint8_range.astype(jnp.float32) / 255.0
     if x.shape[1] != size or x.shape[2] != size:
+        # antialias=False: torch F.interpolate(mode='bilinear') — the
+        # pytorch-fid convention — does not antialias; jax's default
+        # (True) changes the kernel when DOWNSCALING >299px inputs and
+        # would make FID incomparable with a torch pipeline at equal
+        # weights (upscaling is identical either way)
         x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]),
-                             method="bilinear")
+                             method="bilinear", antialias=False)
     return x * 2.0 - 1.0

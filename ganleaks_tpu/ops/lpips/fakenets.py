@@ -45,12 +45,18 @@ def rgb2lab(rgb01: np.ndarray) -> np.ndarray:
 
 
 def _to_im255(x: np.ndarray) -> np.ndarray:
-    """[-1,1] float -> [0,255] range (``util.tensor2im``)."""
-    return (np.asarray(x, np.float64) + 1.0) / 2.0 * 255.0
+    """[-1,1] float -> uint8-truncated [0,255] floats (``util.tensor2im``:
+    ``((x+1)*127.5).astype(np.uint8)`` — the reference quantizes to bytes
+    BEFORE SSIM/Lab, so continuous inputs lose their sub-byte detail
+    here; keeping floats diverged in the 3rd-4th decimal)."""
+    x = (np.asarray(x, np.float64) + 1.0) * 127.5
+    return x.astype(np.uint8).astype(np.float64)
 
 
 def _to_lab(x: np.ndarray) -> np.ndarray:
-    return rgb2lab((np.asarray(x, np.float64) + 1.0) / 2.0)
+    """``util.tensor2tensorlab``: rgb2lab of the tensor2im uint8 image
+    (skimage scales uint8 by 255)."""
+    return rgb2lab(_to_im255(x) / 255.0)
 
 
 # --- SSIM -------------------------------------------------------------------
@@ -99,8 +105,8 @@ def l2_distance(in0: np.ndarray, in1: np.ndarray,
                        axis=(1, 2, 3))
     a = _to_lab(in0)
     b = _to_lab(in1)
-    # util.l2: mean((a-b)^2) normalized by range^2 (range=100)
-    return np.mean((a - b) ** 2, axis=(1, 2, 3)) / (100.0 ** 2)
+    # util.l2 (util.py:42-43): .5 * mean((a/range - b/range)^2), range=100
+    return 0.5 * np.mean((a - b) ** 2, axis=(1, 2, 3)) / (100.0 ** 2)
 
 
 def dssim_distance(in0: np.ndarray, in1: np.ndarray,

@@ -4,8 +4,8 @@ distance function against human judgments:
 
 * 2AFC (two-alternative forced choice): given triplets (ref, p0, p1) and
   the human preference ``gt`` in [0,1] (fraction choosing p1), score =
-  mean of ``d0 < d1 ? gt : (d0 > d1 ? 1-gt : 0.5)`` — the reference's
-  ``compute_accuracy`` + mean (``dist_model.py:253-288``);
+  mean of ``d1 < d0 ? gt : (d0 < d1 ? 1-gt : 0.5)`` — the reference's
+  eval-side formula (``dist_model.py:287``);
 * JND (just-noticeable differences): given pairs with binary ``same``
   labels, mAP of -distance as a same-detector (``score_jnd_dataset``,
   ``:291-330``; sklearn-style AP).
@@ -19,14 +19,16 @@ import numpy as np
 def score_2afc(d0s: np.ndarray, d1s: np.ndarray,
                gts: np.ndarray) -> float:
     """Mean 2AFC agreement, the reference's exact formula
-    (``dist_model.py:278-288``): ``gt`` is the fraction of humans judging
-    p1 more similar; score = (d1<d0)*gt + (d1>=d0)*(1-gt) — a tie counts
-    toward p0, as in the reference."""
+    (``dist_model.py:287``): ``gt`` is the fraction of humans judging
+    p1 more similar; score = (d0<d1)*(1-gt) + (d1<d0)*gt + (d0==d1)*0.5
+    — an exact tie scores 0.5 (the TRAINING-side compute_accuracy,
+    ``dist_model.py:208-212``, folds ties toward p0 instead; this is the
+    eval scorer)."""
     d0s = np.asarray(d0s, np.float64)
     d1s = np.asarray(d1s, np.float64)
     gts = np.asarray(gts, np.float64)
-    d1_lt_d0 = (d1s < d0s).astype(np.float64)
-    scores = d1_lt_d0 * gts + (1.0 - d1_lt_d0) * (1.0 - gts)
+    scores = ((d0s < d1s) * (1.0 - gts) + (d1s < d0s) * gts
+              + (d0s == d1s) * 0.5)
     return float(np.mean(scores))
 
 

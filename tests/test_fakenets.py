@@ -61,8 +61,10 @@ def test_2afc_and_jnd_scores(rng):
     d1 = np.where(gts == 1, 0.1, 0.9)
     assert score_2afc(d0, d1, gts) == 1.0
     assert score_2afc(d1, d0, gts) == 0.0   # anti-metric
-    # ties count toward p0 (reference semantics): score = mean(1-gt)
-    assert score_2afc(d0, d0, gts) == float(np.mean(1.0 - gts))
+    # exact ties score 0.5 (the reference's EVAL formula,
+    # dist_model.py:287 — its training-side compute_accuracy folds ties
+    # toward p0, but the scorer does not)
+    assert score_2afc(d0, d0, gts) == 0.5
 
     # JND: perfectly separable distances -> mAP 1
     sames = np.array([1, 1, 1, 0, 0, 0], np.float64)
@@ -78,3 +80,33 @@ def test_2afc_and_jnd_scores(rng):
     ref = average_precision_score(sames, -ds)
     assert ours >= ref - 1e-12
     assert abs(ours - ref) < 0.05
+
+
+def test_lab_l2_reference_formula_and_byte_truncation(rng):
+    """Reference chain (verified against /root/reference bytes):
+    tensor2im truncates to uint8 BEFORE rgb2lab (util.py:134-138), and
+    util.l2 carries a 0.5 factor (util.py:42-43). Regression: the port
+    kept continuous floats (3rd-decimal divergence) and dropped the 0.5
+    (exactly 2x the reference distance)."""
+    from ganleaks_tpu.ops.lpips.fakenets import (l2_distance, rgb2lab,
+                                                 ssim)
+
+    x0 = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+    x1 = rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32)
+    u0 = ((x0.astype(np.float64) + 1.0) * 127.5).astype(np.uint8)
+    u1 = ((x1.astype(np.float64) + 1.0) * 127.5).astype(np.uint8)
+    ref = 0.5 * np.mean((rgb2lab(u0 / 255.0) / 100.0
+                         - rgb2lab(u1 / 255.0) / 100.0) ** 2,
+                        axis=(1, 2, 3))
+    np.testing.assert_allclose(l2_distance(x0, x1, "Lab"), ref,
+                               rtol=1e-12)
+    # sub-byte perturbations vanish after the uint8 round-trip: a
+    # truncation-faithful port scores them as EXACT ties
+    eps = 1.0 / 512.0  # < half a byte step of 2/255
+    x2 = np.clip(x0 + eps * (x0 < 0.9), -1.0, 1.0).astype(np.float32)
+    base = ((x0.astype(np.float64) + 1.0) * 127.5).astype(np.uint8)
+    pert = ((x2.astype(np.float64) + 1.0) * 127.5).astype(np.uint8)
+    if (base == pert).all():  # rng-dependent, holds for most draws
+        np.testing.assert_array_equal(l2_distance(x0, x2, "Lab"),
+                                      np.zeros(2))
+    del ssim  # imported to assert the module still exposes it
