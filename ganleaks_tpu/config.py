@@ -32,6 +32,14 @@ def _coerce(value: Any, typ: Any) -> Any:
     origin = getattr(typ, "__origin__", None)
     if origin in (list, tuple, Sequence):
         inner = typ.__args__[0] if getattr(typ, "__args__", None) else None
+        if isinstance(value, str):
+            # raw CLI strings (key=value parsers that skip yaml): parse
+            # as YAML so "16" / "[4, 2]" land as values — iterating the
+            # string would silently yield its CHARACTERS ("16" -> (1, 6))
+            import yaml
+            value = yaml.safe_load(value)
+        if not isinstance(value, (list, tuple)):
+            value = [value]  # scalar for a sequence field: one element
         seq = [(_coerce(v, inner) if inner else v) for v in value]
         return tuple(seq) if origin is tuple else seq
     if typ is bool:

@@ -5,13 +5,19 @@ this lays that axis out over a mesh with ``shard_map`` — the closest thing
 GAN-Leaks has to expert parallelism (SURVEY §2.4: "N generators trained on
 N disjoint shards ... on TPU the N splits can also be laid out across
 devices"). Per-split computations stay device-local; only the shared
-private classifier crosses devices, via a gradient psum that is
-mathematically identical to the reference's batched update over all splits
-(equal split sizes => mean-of-means == global mean).
+private classifier crosses devices, via a gradient psum.
 
-Numerical contract: with the same inputs/keys this produces bitwise-close
-results to ``train/priv.privdcgan_train_step`` (tested on the virtual
-8-device mesh).
+Numerical contract: with ``dp_on=False`` (and the same inputs/keys) this
+produces bitwise-close results to ``train/priv.privdcgan_train_step``
+(tested on the virtual 8-device mesh). With ``dp_on=True`` the psum'd
+LOSS mean equals the reference's global mean (equal split sizes =>
+mean-of-means == global mean), but the private classifier's BatchNorm
+normalizes each device's B fakes with LOCAL batch statistics, where the
+vmapped/reference step batches all S*B fakes through one BN batch — a
+KNOWN schedule divergence (same class as the EP update-interleaving
+divergence measured at −2e-4 AUROC by ``tools/ep_schedule_experiment.py``;
+a sync-BN over the split axis would close it at the cost of two extra
+psums per step).
 """
 
 from __future__ import annotations
@@ -154,18 +160,22 @@ def make_ep_privdcgan_step(mesh: Mesh, n_splits: int,
             # --- local G step against updated local D + shared priv ---
             def g_loss_fn(params):
                 gv = {"params": params, "batch_stats": gmut["batch_stats"]}
-                fake2, _ = genS.apply_fn(gv, noise, train=True,
-                                         mutable=["batch_stats"])
+                fake2, gm = genS.apply_fn(gv, noise, train=True,
+                                          mutable=["batch_stats"])
                 dv = {"params": d_params, "batch_stats": d_stats}
-                out, _ = discS.apply_fn(dv, fake2, train=True,
-                                        mutable=["batch_stats"])
+                out, dm = discS.apply_fn(dv, fake2, train=True,
+                                         mutable=["batch_stats"])
+                # shared priv's G-step stats: consciously dropped, same
+                # as the vmapped step (train/priv.py g_loss_fn comment)
                 pv = {"params": priv_params, "batch_stats": priv_stats}
                 plogits, _ = priv.apply_fn(pv, fake2, train=True,
                                            mutable=["batch_stats"])
-                return (bce_with_logits(out, 1.0) + privacy_ratio
+                loss = (bce_with_logits(out, 1.0) + privacy_ratio
                         * softmax_cross_entropy_on_probs(plogits, gen_y))
+                return loss, (gm["batch_stats"], dm["batch_stats"])
 
-            loss_g, g_grads = jax.value_and_grad(g_loss_fn)(gp["params"])
+            (loss_g, (g_stats2, d_stats2)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gp["params"])
             g_updates, g_opt = genS.tx.update(g_grads, gp["opt_state"],
                                               gp["params"])
             g_params = optax.apply_updates(gp["params"], g_updates)
@@ -174,10 +184,14 @@ def make_ep_privdcgan_step(mesh: Mesh, n_splits: int,
                 lambda x: x[None] if getattr(x, "ndim", 0) >= 1
                 or not hasattr(x, "ndim") else x,
                 jax.tree_util.tree_map(jnp.asarray, t))
+            # g_stats2/d_stats2: the G-step forwards advance BN running
+            # stats too (torch train-mode discipline, matching the
+            # vmapped step's g_stats/d_stats2 threading)
             gen_out = expand({"params": g_params,
-                              "batch_stats": gmut["batch_stats"],
+                              "batch_stats": g_stats2,
                               "opt_state": g_opt})
-            disc_out = expand({"params": d_params, "batch_stats": d_stats,
+            disc_out = expand({"params": d_params,
+                               "batch_stats": d_stats2,
                                "opt_state": d_opt})
             priv_out = {"params": priv_params, "batch_stats": priv_stats,
                         "opt_state": priv_opt}
@@ -248,7 +262,10 @@ def make_ep_privpggan_step(mesh: Mesh, n_splits: int,
             cp_t = unstack(disc_tree)
             real_l = real_s[0]
             batch = real_l.shape[0]
-            nz = gp_t["params"]["initial_convt"]["kernel"].shape[3]
+            # HWIO kernel (ops/nn.ConvTranspose2dTorch): axis 2 is the
+            # INPUT channel count == nz (axis 3 is output channels —
+            # using it only worked when nz happened to equal in_channels)
+            nz = gp_t["params"]["initial_convt"]["kernel"].shape[2]
 
             rng, k_noise, k_eps, k_lab = jax.random.split(rng, 4)
             # global-shaped randomness sliced per split: bitwise-matches

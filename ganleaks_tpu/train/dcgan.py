@@ -59,6 +59,13 @@ def train(cfg: DCGANConfig, images: np.ndarray | None = None,
         images = load_train_images(cfg.data_path, cfg.image_size)
     ds = DeviceDataset(images, seed=cfg.seed)
     state = build_state(cfg, key)
+    if mesh is not None:
+        # replicate the state explicitly (like every sibling trainer):
+        # an uncommitted pytree rides on jit auto-resharding, which
+        # breaks the moment any leaf arrives committed (e.g. a loaded
+        # checkpoint on device 0)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state = jax.device_put(state, NamedSharding(mesh, P()))
 
     meter = Throughput()
     step_key = jax.random.fold_in(key, 1)

@@ -166,26 +166,36 @@ def privdcgan_train_step(state: PrivGANState, real: Array, rng: Array,
     def g_loss_fn(g_params):
         def per_split(gp, gstats, dp, dstats, z, y):
             gv = {"params": gp, "batch_stats": gstats}
-            fake2, _ = genS.apply_fn(gv, z, train=True,
-                                     mutable=["batch_stats"])
+            fake2, gm = genS.apply_fn(gv, z, train=True,
+                                      mutable=["batch_stats"])
             dv = {"params": dp, "batch_stats": dstats}
-            out, _ = discS.apply_fn(dv, fake2, train=True,
-                                    mutable=["batch_stats"])
+            out, dm = discS.apply_fn(dv, fake2, train=True,
+                                     mutable=["batch_stats"])
+            # priv's G-step forward also runs train-mode in torch, but
+            # it is SHARED across splits and torch advances its running
+            # stats sequentially per split — un-reproducible under vmap,
+            # so its G-step stats update is a conscious drop (running
+            # stats only; gradients are unaffected)
             pv = {"params": priv.params, "batch_stats": priv.batch_stats}
             plogits, _ = priv.apply_fn(pv, fake2, train=True,
                                        mutable=["batch_stats"])
-            return (bce_with_logits(out, 1.0)
+            loss = (bce_with_logits(out, 1.0)
                     + privacy_ratio
                     * softmax_cross_entropy_on_probs(plogits, y))
+            return loss, (gm["batch_stats"], dm["batch_stats"])
 
-        losses = jax.vmap(per_split)(g_params, genS.batch_stats,
-                                     discS.params, discS.batch_stats,
-                                     noise, gen_y)
-        return jnp.sum(losses), jnp.mean(losses)
+        losses, (g_stats, d_stats2) = jax.vmap(per_split)(
+            g_params, genS.batch_stats, discS.params, discS.batch_stats,
+            noise, gen_y)
+        return jnp.sum(losses), (jnp.mean(losses), g_stats, d_stats2)
 
-    (_, loss_g), g_grads = jax.value_and_grad(
+    (_, (loss_g, g_stats, d_stats2)), g_grads = jax.value_and_grad(
         g_loss_fn, has_aux=True)(genS.params)
-    genS = genS.apply_gradients(g_grads)
+    # torch keeps every module in train mode: the G step's gen/disc
+    # forwards advance their per-split BN running stats too (the same
+    # discipline gan.py's dcgan_train_step follows with d_stats2)
+    genS = genS.apply_gradients(g_grads).replace(batch_stats=g_stats)
+    discS = discS.replace(batch_stats=d_stats2)
 
     new = state.replace(step=state.step + 1, genS=genS, discS=discS,
                         priv=priv)

@@ -128,14 +128,14 @@ def vaegan_train_step(state: VAEGANState, real_dl: Array, real_d1: Array,
     # ---------- (3) G & E step (train.py:359-385) ----------
     def ge_loss_fn(g_params, e_params):
         ev = {"params": e_params, "batch_stats": enc.batch_stats}
-        encoded2, _ = enc.apply_fn(ev, real_g, k_genc, train=True,
-                                   mutable=["batch_stats"])
+        encoded2, emut = enc.apply_fn(ev, real_g, k_genc, train=True,
+                                      mutable=["batch_stats"])
         gv = {"params": g_params, "batch_stats": gen.batch_stats,
               **dict(gen.extra)}
         rec_fake, gmut = gen.apply_fn(gv, encoded2, train=True,
                                       mutable=["batch_stats", "spectral"])
         dv = {"params": disc.params, **dict(disc.extra)}
-        output, _ = disc.apply_fn(dv, rec_fake, mutable=["spectral"])
+        output, dmut = disc.apply_fn(dv, rec_fake, mutable=["spectral"])
         dlv = {"params": disc_l.params}
         output_n = disc_l.apply_fn(dlv, encoded2)
         # criterionG (train.py:190-217)
@@ -143,15 +143,21 @@ def vaegan_train_step(state: VAEGANState, real_dl: Array, real_d1: Array,
             real_g.reshape(batch, -1) - rec_fake.reshape(batch, -1)),
             axis=1))
         loss = jnp.mean(output) + bce(output_n, 1.0) + 0.005 * rec
-        return loss, gmut
+        # the torch reference advances netE's BN running stats and
+        # netD's spectral-norm u on EVERY train-mode forward
+        # (train.py:359-385) — thread both, not just the generator's
+        return loss, (gmut, emut["batch_stats"], dmut["spectral"])
 
-    (loss_g, gmut), (g_grads, e_grads) = jax.value_and_grad(
-        ge_loss_fn, has_aux=True, argnums=(0, 1))(gen.params, enc.params)
+    (loss_g, (gmut, enc_stats, d_spec)), (g_grads, e_grads) = \
+        jax.value_and_grad(ge_loss_fn, has_aux=True,
+                           argnums=(0, 1))(gen.params, enc.params)
     gen = gen.apply_gradients(g_grads).replace(
         batch_stats=gmut["batch_stats"],
         extra=FrozenDict({**dict(gen.extra),
                           "spectral": gmut["spectral"]}))
-    enc = enc.apply_gradients(e_grads)
+    enc = enc.apply_gradients(e_grads).replace(batch_stats=enc_stats)
+    disc = disc.replace(
+        extra=FrozenDict({**dict(disc.extra), "spectral": d_spec}))
 
     new = state.replace(step=state.step + 1, enc=enc, gen=gen, disc=disc,
                         disc_l=disc_l)
@@ -223,16 +229,26 @@ def train(cfg: VAEGANConfig, images: np.ndarray | None = None,
     if mesh is not None:  # DP: params replicated, batches sharded
         state = jax.device_put(state, NamedSharding(mesh, P()))
 
-    step_key = jax.random.fold_in(key, 1)
     metrics = {}
     batch_iter = _forever_batches(ds, cfg.batch_size)
-    for epoch in range(int(state.epoch), cfg.nepoch):
+    # resume discipline: a resumed run must CONTINUE the RNG and shuffle
+    # streams, not restart them — replaying the already-consumed keys and
+    # batch order would correlate post-resume noise with the checkpointed
+    # updates. Keys are counter-based (global step index) and the batch
+    # stream fast-forwards past the consumed prefix, so an interrupted +
+    # resumed run consumes exactly the uninterrupted run's streams.
+    start_epoch = int(state.epoch)
+    global_step = start_epoch * cfg.steps_per_epoch
+    for _ in range(4 * global_step):
+        next(batch_iter)
+    for epoch in range(start_epoch, cfg.nepoch):
         for _ in range(cfg.steps_per_epoch):
             b1, b2, b3, b4 = (next(batch_iter) for _ in range(4))
             if mesh is not None:
                 b1, b2, b3, b4 = (shard_batch(b, mesh)
                                   for b in (b1, b2, b3, b4))
-            step_key = jax.random.fold_in(step_key, 1)
+            global_step += 1
+            step_key = jax.random.fold_in(key, global_step)
             state, metrics = vaegan_train_step(state, b1, b2, b3, b4,
                                                step_key)
         state = state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))

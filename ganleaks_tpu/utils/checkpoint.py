@@ -2,11 +2,13 @@
 
 The reference saves ``state_dict`` pickles at end of training
 (``train_torch.py:131-136``); VAE-GAN alone checkpoints periodically with
-resume (``vaegan/train.py:284-294,401-414``). Here every trainer gets
-periodic+final Orbax checkpoints of the full train state, plus a simple
-msgpack fallback, and ``ganleaks_tpu.ops.lpips.convert`` /
-``load_torch_state_dict`` below let reference-trained victims be attacked
-for cross-validation.
+resume (``vaegan/train.py:284-294,401-414``). Here every trainer saves a
+final msgpack of the full train state (VAE-GAN also periodically, with
+resume — mirroring the reference); :func:`save_orbax`/:func:`load_orbax`
+are the sharding-aware alternative for multi-host runs (library surface,
+exercised by tests — no trainer defaults to them), and
+``ganleaks_tpu.tools.convert_victim`` lets reference-trained victims be
+attacked for cross-validation.
 """
 
 from __future__ import annotations

@@ -148,3 +148,18 @@ def test_bench_halve_cache_retry_argv():
     # idempotent planner flag
     out2 = bench._halve_cache(out)
     assert out2.count("--no_auto_plan") == 1
+
+
+def test_tuple_field_coercion_from_raw_strings():
+    """Raw CLI strings for sequence-typed fields must parse as YAML, not
+    iterate characters (regression: mesh_shape=16 became (1, 6))."""
+    from ganleaks_tpu.config import DCGANConfig, apply_overrides
+
+    assert apply_overrides(DCGANConfig(),
+                           {"mesh_shape": "16"}).mesh_shape == (16,)
+    assert apply_overrides(DCGANConfig(),
+                           {"mesh_shape": "[4, 2]"}).mesh_shape == (4, 2)
+    assert apply_overrides(DCGANConfig(),
+                           {"mesh_shape": 8}).mesh_shape == (8,)
+    assert apply_overrides(DCGANConfig(),
+                           {"mesh_shape": [2, 2]}).mesh_shape == (2, 2)

@@ -112,3 +112,24 @@ def test_ep_privpggan_step_matches_vmapped(rng, mesh8):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2.5e-3)
+
+
+def test_ep_privpggan_nz_differs_from_in_channels(rng, mesh8):
+    """The EP step must read the latent width from the HWIO kernel's
+    INPUT-channel axis (regression: it read output channels, which only
+    worked when nz == in_channels)."""
+    from ganleaks_tpu.config import PGGANConfig
+    from ganleaks_tpu.parallel.ep import make_ep_privpggan_step
+
+    n_splits = 8
+    cfg = PGGANConfig(in_channels=8, nz=16)  # nz != in_channels
+    pcfg = PrivGANConfig(N_splits=n_splits, privacy_ratio=0.5)
+    real = jnp.asarray(
+        rng.uniform(-1, 1, (n_splits, 2, 8, 8, 3)).astype(np.float32))
+    s = priv_t.build_privpggan_state(cfg, pcfg, jax.random.key(0),
+                                     max_steps=1)
+    s = shard_split_state(s, mesh8)
+    step = make_ep_privpggan_step(mesh8, n_splits, 0.5, dp_on=True,
+                                  steps=1)
+    out, m = step(s, real, jnp.float32(0.7), jax.random.key(1))
+    assert all(np.isfinite(float(v)) for v in m.values()), m

@@ -269,3 +269,30 @@ def test_medgan_train_and_generate(tmp_path, rng):
     assert os.path.exists(os.path.join(tmp_path, "synthetic.npy"))
     p_real, p_syn = medgan_t.dimension_wise_probability(data, samples)
     assert p_real.shape == (12,) and p_syn.shape == (12,)
+
+
+def test_vaegan_resume_continues_rng_and_data_streams(tmp_path, rng,
+                                                      monkeypatch):
+    """An interrupted + resumed run must equal the uninterrupted run
+    bitwise: resume previously restarted step_key and the shuffle
+    stream from zero, replaying the consumed keys/batches."""
+    monkeypatch.chdir(tmp_path)
+    images = rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+    base = dict(z_dim=16, d=8, batch_size=4, steps_per_epoch=2,
+                checkpoint_every=1, num_samples=5)
+
+    full = vaegan_t.train(VAEGANConfig(nepoch=2, exp_name="full", **base),
+                          images=images, resume=False)
+    part = vaegan_t.train(VAEGANConfig(nepoch=1, exp_name="split", **base),
+                          images=images, resume=False)
+    assert int(part.epoch) == 1
+    resumed = vaegan_t.train(
+        VAEGANConfig(nepoch=2, exp_name="split", **base),
+        images=images, resume=True)
+    for name, a, b in (("gen", full.gen.params, resumed.gen.params),
+                    ("enc", full.enc.params, resumed.enc.params)):
+        na = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+            jax.device_get(a))])
+        nb = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+            jax.device_get(b))])
+        np.testing.assert_array_equal(na, nb, err_msg=name)
