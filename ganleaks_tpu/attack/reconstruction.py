@@ -116,16 +116,20 @@ def run_reconstruction_attack(cfg) -> dict:
 
     key = jax.random.key(cfg.seed)
     out = {}
+    n_pos = len(pos)
     for name, queries, sub in (("pos", pos, 0), ("neg", neg, 1)):
         losses = reconstruction_scores(
             encoder_apply, generator_apply, jnp.asarray(queries),
             jax.random.fold_in(key, sub), lpips_pair_fn=lpips_pair_fn,
             batch=cfg.batch)
-        # fbb artifact layout: (N, 1) float64 losses; idx = 0..N-1 counters
+        # fbb artifact layout: (N, 1) float64 losses; idx = sequential
+        # counters, and the NEG file reuses len(pos_loss) — the reference
+        # quirk (fbb.py:171) that attack/fbb.py and attack/tabular.py
+        # also replicate, so all fbb-layout writers agree byte-for-byte
         save_files(save_dir,
                    [f"{name}_loss", f"{name}_idx"],
                    [losses.astype(np.float64).reshape(-1, 1),
-                    np.arange(len(losses)).reshape(-1, 1)])
+                    np.arange(n_pos).reshape(-1, 1)])
         if cfg.save_plots:  # query | G(E(query)) pairs, fbb.py:91-106 style
             recon = generator_apply(encoder_apply(
                 jnp.asarray(queries[:20]),

@@ -35,7 +35,11 @@ def load_rows(path: str) -> np.ndarray:
             rows = z[keys[0]]
     elif path.endswith(".csv"):
         import pandas as pd
-        rows = pd.read_csv(path, header=0).fillna(0).values
+        # column-median fill, like the reference's dataset loader
+        # (medgan/model.py:114) and our own load_csv_dataset — a 0-fill
+        # shifted distances wherever a column median is nonzero
+        df = pd.read_csv(path, header=0)
+        rows = df.fillna(df.median()).values
     else:
         rows = np.load(path)
     rows = np.asarray(rows, np.float32)

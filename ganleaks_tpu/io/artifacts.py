@@ -25,10 +25,15 @@ def check_folder(path: str) -> str:
     return path
 
 
+def timestamp_stamp() -> str:
+    """The reference's run-dir strftime format (``train_torch.py:71-72``) —
+    single authoritative copy."""
+    return datetime.datetime.now().strftime("_%Y_%m_%d__%H_%M_%S")
+
+
 def timestamp_dir(root: str) -> str:
     """Timestamped run dir, same strftime format as ``train_torch.py:71-72``."""
-    stamp = datetime.datetime.now().strftime("_%Y_%m_%d__%H_%M_%S")
-    return os.path.join(root, stamp)
+    return os.path.join(root, timestamp_stamp())
 
 
 def save_files(save_dir: str, names: Sequence[str],
@@ -70,7 +75,7 @@ def write_synthetic_artifacts(root: str, model_name: str,
     ``images01``: NHWC in [0, 1]. Returns the three dir paths.
     """
     if run_dir is None:
-        run_dir = datetime.datetime.now().strftime("_%Y_%m_%d__%H_%M_%S")
+        run_dir = timestamp_stamp()
     d_img = check_folder(os.path.join(root, "npz_images", run_dir))
     d_noise = check_folder(os.path.join(root, "npz_noise", run_dir))
     d_png = check_folder(os.path.join(root, "png_images", run_dir))

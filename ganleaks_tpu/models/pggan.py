@@ -61,8 +61,10 @@ class Generator(nn.Module):
         x = z.reshape(z.shape[0], 1, 1, self.nz)
         # initial: PixelNorm -> ConvT 1x1->4x4 -> LReLU -> WSConv -> LReLU -> PN
         x = pixel_norm(x)
+        # plain nn.ConvTranspose2d in the reference (model_torch.py:55):
+        # torch-default kaiming-uniform init (the module's default), NOT
+        # a WSConv — a normal(1.0) override started ~90x too large
         x = ConvTranspose2dTorch(self.in_channels, 4, 1, 0,
-                                 kernel_init=nn.initializers.normal(1.0),
                                  name="initial_convt")(x)
         x = leaky_relu(x, 0.2)
         x = WSConv2d(self.in_channels, name="initial_conv")(x)

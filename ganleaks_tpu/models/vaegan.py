@@ -58,10 +58,16 @@ class Encoder(nn.Module):
                 h, use_running_average=not train)
             h = nn.relu(h)
         mu_h = ChannelsToLinear(4 * self.z_dim, name="fc1")(h)
-        mu_h = BatchNormTorch(name="bn6")(mu_h, use_running_average=not train)
+        # netE.apply(weights_init) recurses into EVERY submodule
+        # (train.py:267): the 1-d BatchNorms get the N(1, 0.02) scale
+        # draw too, not just the conv BNs (ops.py:14-16)
+        mu_h = BatchNormTorch(scale_init=normal_mean_init(1.0, 0.02),
+                              name="bn6")(mu_h,
+                                          use_running_average=not train)
         z_mu = DenseTorch(self.z_dim, name="fc1_1")(nn.relu(mu_h))
         var_h = ChannelsToLinear(4 * self.z_dim, name="fc2")(h)
-        var_h = BatchNormTorch(name="bn7")(var_h,
+        var_h = BatchNormTorch(scale_init=normal_mean_init(1.0, 0.02),
+                               name="bn7")(var_h,
                                            use_running_average=not train)
         z_var = DenseTorch(self.z_dim, name="fc2_1")(nn.relu(var_h))
         return z_mu, z_var

@@ -300,6 +300,9 @@ def privpggan_train_step(state: PrivGANState, real: Array, alpha,
     (``privPGGAN.py:141-234``). real: (S, B, H, W, C)."""
     genS, criticS, priv = state.genS, state.discS, state.priv
     n_splits, batch = real.shape[:2]
+    # STACKED kernel (S, kh, kw, I, O): axis 3 is the input-channel
+    # count == nz (the unstacked HWIO form used by parallel/ep.py reads
+    # axis 2 — do not "fix" one to match the other)
     nz = genS.params["initial_convt"]["kernel"].shape[3]
     rng, k_noise, k_eps, k_lab = jax.random.split(rng, 4)
     noise = jax.random.normal(k_noise, (n_splits, batch, nz), real.dtype)

@@ -213,3 +213,40 @@ def test_spectral_norm_conv_matches_torch_formula(rng):
     # u/v advanced by the power iteration
     np.testing.assert_allclose(np.asarray(mutated["spectral"]["u"]),
                                u1.numpy(), **TOL)
+
+
+def test_batchnorm_running_stats_match_torch_train_mode(rng):
+    """Train-mode BN: normalization uses the BIASED batch variance, but
+    the running stats accumulate the UNBIASED one (torch semantics).
+    Regression: flax's nn.BatchNorm stores the biased variance, leaving
+    running_var low by (n-1)/n per step — 3% at batch 32."""
+    x = rng.standard_normal((8, 4, 4, 3)).astype(np.float32)
+    tb = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    tb.train()
+    with torch.no_grad():
+        t_out = tb(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    bn = gnn.BatchNormTorch(use_running_average=False)
+    variables = bn.init(jax.random.key(0), jnp.asarray(x))
+    out, mut = bn.apply(variables, jnp.asarray(x),
+                        mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.permute(0, 2, 3, 1).numpy(),
+        rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["bn"]["var"]),
+        tb.running_var.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["bn"]["mean"]),
+        tb.running_mean.numpy(), rtol=1e-5, atol=1e-7)
+    # eval mode then normalizes with those stats, matching torch
+    tb.eval()
+    with torch.no_grad():
+        t_eval = tb(torch.from_numpy(x).permute(0, 3, 1, 2))
+    e_vars = {"params": variables["params"],
+              "batch_stats": mut["batch_stats"]}
+    ours = gnn.BatchNormTorch(use_running_average=True).apply(
+        e_vars, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours),
+                               t_eval.permute(0, 2, 3, 1).numpy(),
+                               rtol=2e-5, atol=2e-6)
