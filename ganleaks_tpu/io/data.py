@@ -22,11 +22,14 @@ def _read_train_image(path: str, resolution: int) -> np.ndarray:
     ``Resize -> ToTensor -> Normalize(0.5, 0.5)`` (``train_torch.py:60-64``):
     bilinear resize (torchvision's default interpolation), then [-1, 1]."""
     img = PIL.Image.open(path)
+    if img.mode != "RGB":
+        # palette/RGBA/16-bit inputs: torchvision's loader yields RGB;
+        # skipping the convert fed palette INDICES (or a 4th channel)
+        # into training with no error
+        img = img.convert("RGB")
     if img.size != (resolution, resolution):
         img = img.resize((resolution, resolution), PIL.Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
-    if arr.ndim == 2:
-        arr = np.repeat(arr[:, :, None], 3, axis=2)
     return arr * 2.0 - 1.0
 
 
@@ -82,8 +85,6 @@ def random_hflip(batch, key):
     """``RandomHorizontalFlip(p=0.5)`` (``gan_models/pggan/train.py:83``)
     as a device-side masked reverse along W — one Bernoulli draw per
     sample (all leading axes before HWC), jit-safe."""
-    import jax
-
     lead = batch.shape[:-3]
     flip = jax.random.bernoulli(key, 0.5, lead + (1, 1, 1))
     return jnp.where(flip, batch[..., ::-1, :], batch)

@@ -352,7 +352,8 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
                       q_block: int, s_block: int, cache_bytes: int,
                       resident_bytes: int | None = None,
                       feat_rows: int | None = None,
-                      act_itemsize: int = 2
+                      act_itemsize: int = 2,
+                      hbm_bytes: int | None = None
                       ) -> tuple[int, int]:
     """Projection-driven (cache_bytes, s_block) adjustment for the
     streamed search. Uses the same static accounting as
@@ -391,7 +392,9 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     replicated)."""
     if env_flag("GANLEAKS_NO_AUTO_PLAN"):
         return cache_bytes, s_block
-    hbm = _device_hbm_bytes()
+    # hbm_bytes: explicit target capacity — tools/hbm_projection.py runs
+    # THIS planner off-device so the projection cannot drift from it
+    hbm = hbm_bytes if hbm_bytes is not None else _device_hbm_bytes()
     if hbm is None:
         return cache_bytes, s_block
     if queries.ndim == 4:

@@ -99,10 +99,25 @@ def tile_image_grid(images01, ncols: int = 8):
 
 
 def _tofloat(v):
-    try:
-        return float(v)
-    except (TypeError, ValueError):
+    """JSONL-safe value: numeric scalars become floats; strings stay
+    strings (a numeric-looking run id must not turn into 12.0); arrays
+    become lists; anything else degrades to repr rather than killing
+    the run at a logging call."""
+    if isinstance(v, str):
         return v
+    if isinstance(v, (bool, int)):
+        return v
+    try:
+        return float(v)  # python/np scalars, 0-d arrays
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return repr(v)
 
 
 class Throughput:

@@ -15,15 +15,27 @@ import jax
 def trace_stage(name: str, meters: dict | None = None,
                 items: int | None = None):
     """Annotate a pipeline stage for the JAX profiler and record wall-clock
-    (+ items/sec if ``items`` given) into ``meters``."""
+    (+ items/sec if ``items`` given) into ``meters``.
+
+    Both meters accumulate across entries ({name}_seconds, {name}_items),
+    so {name}_items_per_sec is the CUMULATIVE rate, consistent with the
+    logged seconds. NOTE: the timer is host wall-clock with no device
+    sync — a body that only dispatches jitted work measures async
+    dispatch, not execution; call ``jax.block_until_ready`` on the
+    stage's outputs inside the ``with`` (the discipline
+    :class:`Throughput` callers follow) for a throughput number."""
     t0 = time.perf_counter()
     with jax.profiler.TraceAnnotation(name):
         yield
     dt = time.perf_counter() - t0
     if meters is not None:
-        meters[f"{name}_seconds"] = meters.get(f"{name}_seconds", 0.0) + dt
+        secs = meters.get(f"{name}_seconds", 0.0) + dt
+        meters[f"{name}_seconds"] = secs
         if items is not None:
-            meters[f"{name}_items_per_sec"] = items / dt if dt > 0 else 0.0
+            total = meters.get(f"{name}_items", 0) + items
+            meters[f"{name}_items"] = total
+            meters[f"{name}_items_per_sec"] = (total / secs if secs > 0
+                                               else 0.0)
 
 
 @contextlib.contextmanager

@@ -112,3 +112,24 @@ def test_native_corrupt_png_falls_back_not_terminates(tmp_path):
     # and the good file alone still decodes
     out = load_image_paths_native([good], 8)
     assert out.shape == (1, 8, 8, 3)
+
+
+def test_train_reader_converts_palette_and_rgba(tmp_path):
+    """Non-RGB training PNGs (palette / RGBA) must load as RGB pixel
+    values — the reader previously fed palette INDICES (or a 4th
+    channel) into training with no error."""
+    import PIL.Image
+
+    from ganleaks_tpu.io.data import load_train_images
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    PIL.Image.fromarray(rgb).convert("P", palette=PIL.Image.ADAPTIVE).save(
+        tmp_path / "p.png")
+    rgba = np.concatenate([rgb, np.full((16, 16, 1), 255, np.uint8)], -1)
+    PIL.Image.fromarray(rgba, "RGBA").save(tmp_path / "a.png")
+    out = load_train_images(str(tmp_path), 16)
+    assert out.shape == (2, 16, 16, 3)
+    # the RGBA file decodes to exactly the original RGB values
+    expect = (rgb.astype(np.float32) / 255.0) * 2.0 - 1.0
+    np.testing.assert_allclose(out[0], expect, atol=1e-6)

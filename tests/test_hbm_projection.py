@@ -7,13 +7,20 @@ NS = dict(n_q=20000, n_syn=100000, resolution=64, q_block=2048,
           s_block=2048, hbm_gb=16.0)
 
 
-def test_north_star_fits_and_f32_does_not():
+def test_north_star_fits_and_f32_degrades():
     u8 = project(engine="taps-int8", dtype="bfloat16", store="uint8",
                  cache_gb=8.0, **NS)
-    assert u8["fits"]  # the measured 11.6 s configuration
+    assert u8["fits"]  # the measured configuration
+    # the live planner upgrades uint8 residency to the one-sweep cache
+    # (the measured 9.78 s schedule)
+    assert u8["sweeps"] == 1 and u8["planned_cache"] >= 8 << 30
+    # f32 residency cannot hold the requested cache: the planner CAPS it
+    # (more sweeps — what the engine actually does) instead of OOMing;
+    # this degradation is why uint8 residency exists (BASELINE.md)
     f32 = project(engine="gemm", dtype="float32", store="float32",
                   cache_gb=12.0, **NS)
-    assert not f32["fits"]  # why uint8 residency exists (BASELINE.md)
+    assert f32["planned_cache"] < 12 << 30
+    assert f32["sweeps"] > u8["sweeps"]
 
 
 def test_projection_scaling_relations():

@@ -68,3 +68,21 @@ def test_pggan_training_emits_grids(tmp_path, rng):
     pggan_train.train(cfg, images=images)
     grids = glob.glob(os.path.join(cfg.PATH, "sample_grids", "*.png"))
     assert len(grids) == 2  # one per (resolution, epoch): 4x4 and 8x8
+
+
+def test_metrics_logger_survives_arrays_and_keeps_strings(tmp_path):
+    """Non-float-coercible values must degrade to JSON-safe forms, not
+    kill the run at a logging call; numeric strings stay strings."""
+    import json
+
+    from ganleaks_tpu.utils.logging import MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(path, echo=False)
+    lg.log({"arr": np.arange(3), "run": "0012", "x": np.float32(2.5),
+            "flag": True, "obj": object()})
+    rec = json.loads(open(path).read().splitlines()[-1])
+    assert rec["arr"] == [0, 1, 2]
+    assert rec["run"] == "0012"
+    assert rec["x"] == 2.5 and rec["flag"] is True
+    assert isinstance(rec["obj"], str)

@@ -33,10 +33,11 @@ def project(n_q: int, n_syn: int, resolution: int, engine: str,
             distance: str = "l2-lpips") -> dict:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ganleaks_tpu.attack.fbb import build_embed_fn
     from ganleaks_tpu.config import AttackConfig
-    from ganleaks_tpu.ops.knn import _phys_row_bytes
+    from ganleaks_tpu.ops.knn import _auto_stream_plan, _phys_row_bytes
 
     structured = engine in ("taps", "taps-int8")
     # the SAME featurizer construction the attack driver uses (weight,
@@ -65,37 +66,60 @@ def project(n_q: int, n_syn: int, resolution: int, engine: str,
     row = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
                           jnp.dtype(cdtype).itemsize)
 
-    cache_bytes = int(cache_gb * (1 << 30))
-    chunk_rows = max(q_block, (cache_bytes // max(1, row))
-                     // q_block * q_block)
-    eff_chunk = min(chunk_rows, n_q + (-n_q) % q_block)
-    sweeps = -(-n_q // chunk_rows)
-
     img_bytes = {"uint8": 1, "bfloat16": 2, "float32": 4}[store]
     # images: lane padding applies to the minor (=3 channel) axis on
     # device only when stored as the raw NHWC array; XLA keeps c=3 minor
     # padded to 128 lanes ONLY for <2D-tiled layouts — measured residency
     # tracks the logical bytes for big NHWC pools, so report logical.
     images = (n_q + n_syn) * resolution * resolution * 3 * img_bytes
+
+    # run the LIVE planner (ops/knn._auto_stream_plan) with the target
+    # HBM capacity: the projection cannot drift from the engines' own
+    # accounting (one-sweep upgrade, over-ask capping, the wide-row
+    # 3-block stream charge — drift here previously printed 'fits' for
+    # configs the calibrated planner rejects)
+    class _Stub:  # shape/ndim/nbytes carrier; not a jax.Array (so the
+        # planner treats it as the tool's explicit resident_bytes says)
+        def __init__(self, shape, itemsize):
+            self.shape = shape
+            self.ndim = len(shape)
+            self.nbytes = int(np.prod(shape)) * itemsize
+
+    q_stub = _Stub((n_q, resolution, resolution, 3), img_bytes)
+    s_stub = _Stub((n_syn, resolution, resolution, 3), img_bytes)
+    act_itemsize = max(2, jnp.dtype(probe[0].dtype).itemsize)
+    hbm = int(hbm_gb * (1 << 30))
+    cache_bytes, sb = _auto_stream_plan(
+        q_stub, s_stub, row, q_block=q_block, s_block=s_block,
+        cache_bytes=int(cache_gb * (1 << 30)), resident_bytes=images,
+        act_itemsize=act_itemsize, hbm_bytes=hbm)
+
+    chunk_rows = max(q_block, (cache_bytes // max(1, row))
+                     // q_block * q_block)
+    padded = n_q + (-n_q) % q_block
+    eff_chunk = min(chunk_rows, padded)
+    sweeps = -(-n_q // chunk_rows)
+
     cache = eff_chunk * row
-    sblock_stream = s_block * row  # one synthetic block in flight (x2 for
-    # the next block while the fold consumes the previous)
-    fold_state = eff_chunk * (4 + 4)  # f32 best-distance + i32 argmin
+    stream_blocks = 2 if row <= (1 << 20) else 3  # planner's wide-row rule
+    sblock_stream = sb * row
+    fold_state = padded * (4 + 4)  # f32 best-distance + i32 argmin
     # featurize working set: the VGG tower's widest activation for one
-    # block (N, res, res, 64) at the tower compute dtype, x2 for XLA's
-    # producer+consumer overlap — a rule-of-thumb upper bound calibrated
-    # against the measured 20000x100000 u8+8GB run fitting a 16 GB v5e
-    act_itemsize = jnp.dtype(dtype).itemsize
-    tower_act = (max(q_block, s_block) * resolution * resolution * 64
+    # block (N, res, res, 64), x2 for XLA's producer+consumer overlap —
+    # the planner's own act charge
+    tower_act = (max(q_block, sb) * resolution * resolution * 64
                  * act_itemsize * 2)
 
-    total = images + cache + 2 * sblock_stream + fold_state + tower_act
+    total = (images + cache + stream_blocks * sblock_stream
+             + fold_state + tower_act)
     return {
         "row_bytes": row, "chunk_rows": chunk_rows, "sweeps": sweeps,
-        "images": images, "cache": cache, "stream": 2 * sblock_stream,
+        "planned_cache": cache_bytes, "planned_s_block": sb,
+        "images": images, "cache": cache,
+        "stream": stream_blocks * sblock_stream,
         "fold": fold_state, "tower": tower_act, "total": total,
-        "hbm": hbm_gb * (1 << 30),
-        "fits": total <= hbm_gb * (1 << 30) * 0.92,  # runtime reserve
+        "hbm": hbm,
+        "fits": total <= hbm * 0.92,  # runtime reserve
     }
 
 
@@ -131,11 +155,13 @@ def main(argv=None) -> int:
           f"engine={args.engine} dtype={args.dtype} store={args.store} "
           f"cache={args.cache_gb}g")
     print(f"  cache row (lane-padded, stream dtype): {p['row_bytes']:,} B")
+    print(f"  planner: cache {p['planned_cache'] / 2**30:.2f} GiB, "
+          f"s_block {p['planned_s_block']}")
     print(f"  query chunk rows: {p['chunk_rows']:,}  ->  "
           f"synthetic featurize sweeps: {p['sweeps']}")
     print(f"  images (both sets, logical) {gb(p['images'])}")
     print(f"  query-embedding cache       {gb(p['cache'])}")
-    print(f"  synthetic stream (2 blocks) {gb(p['stream'])}")
+    print(f"  synthetic stream (in-flight) {gb(p['stream'])}")
     print(f"  fold state                  {gb(p['fold'])}")
     print(f"  tower activations (bound)   {gb(p['tower'])}")
     print(f"  TOTAL                       {gb(p['total'])}  of "
