@@ -150,6 +150,54 @@ def test_bench_halve_cache_retry_argv():
     assert out2.count("--no_auto_plan") == 1
 
 
+def test_bench_stale_emission(tmp_path, capsys, monkeypatch):
+    """When every fresh-process retry hit an unresponsive device (a
+    tunnel outage, round 3's failure mode), the default invocation must
+    emit the last driver-verified measurement labeled ``stale`` with the
+    error text, and exit 0 — and must keep the non-zero rc when there is
+    no last-good record to fall back to."""
+    import json
+
+    import bench
+
+    good = {"metric": "fbb LPIPS kNN query-pairs/sec (tpu, taps-int8, "
+                      "20000x100000 @64x64)",
+            "value": 204600000.0, "unit": "query-pairs/sec",
+            "vs_baseline": 13640000.0, "measured_at": "2026-08-18"}
+    p = tmp_path / "bench_last_good.json"
+    p.write_text(json.dumps(good))
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH", str(p))
+
+    with pytest.raises(SystemExit) as exc:
+        bench._emit_stale_and_exit(3, attempts_made=7)
+    assert exc.value.code == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stale"] is True
+    assert out["value"] == good["value"]
+    assert "tunnel outage" in out["error"]
+    assert "NOT from this run" in out["error"]
+
+    # no last-good file: the outage rc must survive
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH",
+                        str(tmp_path / "missing.json"))
+    with pytest.raises(SystemExit) as exc:
+        bench._emit_stale_and_exit(3, attempts_made=7)
+    assert exc.value.code == 3
+
+
+def test_bench_last_good_seed_is_valid():
+    """The committed seed record (builder-logged round-3 measurement)
+    must stay parseable with the keys the stale emission copies."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent.parent / "bench_last_good.json"
+    rec = json.loads(p.read_text())
+    for key in ("metric", "value", "unit", "vs_baseline", "measured_at"):
+        assert key in rec, key
+    assert rec["value"] > 0
+
+
 def test_tuple_field_coercion_from_raw_strings():
     """Raw CLI strings for sequence-typed fields must parse as YAML, not
     iterate characters (regression: mesh_shape=16 became (1, 6))."""
