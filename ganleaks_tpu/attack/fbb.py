@@ -136,7 +136,8 @@ def host_stream_enabled(cfg: AttackConfig, mesh=None) -> bool:
 
 def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                   neg: np.ndarray, mesh=None,
-                  logger: MetricsLogger | None = None) -> dict:
+                  logger: MetricsLogger | None = None,
+                  sweep_cache: dict | None = None) -> dict:
     """Run the attack on in-memory NHWC [-1,1] arrays. Returns losses and
     true NN indices for both query sets.
 
@@ -144,7 +145,16 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     query axis, split after): per-query results are independent, and the
     expensive part — featurizing the whole generated set — would
     otherwise run twice (the reference's two loops, ``fbb.py:156-171``).
-    """
+
+    ``sweep_cache`` (opt-in; ``run_attack`` passes one dict across all
+    hyperparameter-search subdirs, ``fbb.py:113-123``) carries the
+    sweep-invariant device state between calls: the built embed closures
+    (whose per-closure jit caches would otherwise recompile the LPIPS
+    tower per subdir) and — single-chip streamed engines only — the
+    featurized QUERY embedding cache (``ops/knn`` ``query_reuse``),
+    since the query sets do not change across subdirs. The CALLER must
+    pass the same pos/neg arrays every call (run_attack loads them
+    once); the engine double-checks shape + a first-row hash."""
     logger = logger or MetricsLogger(echo=False)
     if cfg.shard_layout not in ("sharded", "ring"):
         raise ValueError(f"shard_layout must be 'sharded' or 'ring', "
@@ -160,17 +170,35 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     # loads the LPIPS weights, and the flat form is dead on the
     # structured and two-pass paths
     structured = cfg.engine in ("taps", "taps-int8")
-    embed = embed_struct = embed_lo = embed_hi = None
-    if cfg.two_pass:
-        lo_cfg = replace(cfg, dtype="bfloat16",
-                         lpips_compute_dtype="bfloat16")
-        hi_cfg = replace(cfg, dtype="float32", lpips_compute_dtype=None)
-        embed_lo = build_embed_fn(lo_cfg, structured=structured)
-        embed_hi = build_embed_fn(hi_cfg)
-    elif structured:
-        embed_struct = build_embed_fn(cfg, structured=True)
+    embed_key = (cfg.engine, cfg.dtype, cfg.lpips_compute_dtype,
+                 cfg.two_pass, cfg.distance, cfg.lpips_net,
+                 cfg.lpips_weights)
+    if sweep_cache is not None \
+            and sweep_cache.get("embed_key") == embed_key:
+        embed, embed_struct, embed_lo, embed_hi = sweep_cache["embeds"]
     else:
-        embed = build_embed_fn(cfg)
+        embed = embed_struct = embed_lo = embed_hi = None
+        if cfg.two_pass:
+            lo_cfg = replace(cfg, dtype="bfloat16",
+                             lpips_compute_dtype="bfloat16")
+            hi_cfg = replace(cfg, dtype="float32",
+                             lpips_compute_dtype=None)
+            embed_lo = build_embed_fn(lo_cfg, structured=structured)
+            embed_hi = build_embed_fn(hi_cfg)
+        elif structured:
+            embed_struct = build_embed_fn(cfg, structured=True)
+        else:
+            embed = build_embed_fn(cfg)
+        if sweep_cache is not None:
+            sweep_cache["embed_key"] = embed_key
+            sweep_cache["embeds"] = (embed, embed_struct,
+                                     embed_lo, embed_hi)
+    # cross-subdir query-embedding reuse: single-chip streamed paths
+    # only (the mesh drivers and the two-pass rerank manage their own
+    # caches; threading reuse there is future work)
+    query_reuse = None
+    if sweep_cache is not None and mesh is None and not cfg.two_pass:
+        query_reuse = sweep_cache.setdefault("query_reuse", {})
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77
         k = truncate_to_batches(len(syn), cfg.BATCH_SIZE)
@@ -244,13 +272,15 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                 embed_struct, q_j, syn_j,
                 q_block=cfg.query_block, s_block=cfg.syn_block,
                 quantize=cfg.engine == "taps-int8",
-                query_cache_bytes=cache_bytes)
+                query_cache_bytes=cache_bytes,
+                query_reuse=query_reuse)
         else:
             d, i = knn_argmin_streamed(embed, q_j, syn_j,
                                        engine=cfg.engine,
                                        q_block=cfg.query_block,
                                        s_block=cfg.syn_block,
-                                       query_cache_bytes=cache_bytes)
+                                       query_cache_bytes=cache_bytes,
+                                       query_reuse=query_reuse)
         jax.block_until_ready(d)
         meter.add(len(queries) * len(syn))
         # the ring layout returns P(axis)-sharded results: on one host
@@ -316,6 +346,12 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
         subdirs = [cfg.syn_data_path]
 
     results = []
+    # sweep-invariant state shared across subdirs: query arrays loaded
+    # once (the reference re-reads both query dirs per subdir,
+    # fbb.py:139-145), embed closures built once, and the featurized
+    # query-embedding cache reused (attack_arrays docstring)
+    sweep_cache: dict | None = {} if len(subdirs) > 1 else None
+    pos = neg = None
     for subdir in subdirs:
         sub_cfg = replace(
             cfg, syn_data_path=subdir,
@@ -375,10 +411,12 @@ def run_attack(cfg: AttackConfig, mesh=None) -> list[dict]:
                                          policy=sub_cfg.decode_cache)
 
         syn = _load(subdir, streamable=True)
-        pos = _load(sub_cfg.pos_data_dir, limit=sub_cfg.data_num)
-        neg = _load(sub_cfg.neg_data_dir, limit=sub_cfg.data_num)
+        if pos is None:  # query sets are subdir-invariant: load once
+            pos = _load(sub_cfg.pos_data_dir, limit=sub_cfg.data_num)
+            neg = _load(sub_cfg.neg_data_dir, limit=sub_cfg.data_num)
 
-        out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh, logger=logger)
+        out = attack_arrays(sub_cfg, syn, pos, neg, mesh=mesh,
+                            logger=logger, sweep_cache=sweep_cache)
 
         if is_main:
             seq_pos = np.arange(len(out["pos_loss"])).reshape(-1, 1)

@@ -496,7 +496,8 @@ def _flat_block_norms(emb_norms, x: Array, start: int, block: int
 
 def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                    q_block: int, s_block: int, query_cache_bytes: int,
-                   cdtype, init_state, fold, take):
+                   cdtype, init_state, fold, take,
+                   query_reuse: dict | None = None):
     """Shared chunked streaming driver for every streamed kNN variant
     (flat/parts x argmin/top-k): featurize the query rows chunk by chunk
     into preallocated donated cache buffers, sweep the synthetic set once
@@ -531,7 +532,19 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
     98304/100000 (the headroom filled with in-flight featurize outputs),
     after which retries kept failing against the still-undrained queue.
     Blocking on an old result costs one tunnel RTT per window and never
-    stalls a healthy device (the work is long done)."""
+    stalls a healthy device (the work is long done).
+
+    ``query_reuse`` (opt-in) carries the featurized query cache ACROSS
+    CALLS: pass the same dict to repeated searches over the same query
+    set (the fbb hyperparameter-search sweep re-runs the attack once per
+    synthetic subdir, ``attack_models/fbb.py:113-123``, and the query
+    embeddings are subdir-invariant) and the whole query featurize is
+    skipped after the first call. Engages only when the query set fits
+    ONE cache chunk (multi-chunk caches cannot all be held in HBM — the
+    chunking exists because they don't fit). Keyed by shape/dtype plus a
+    first-row content hash; the CALLER asserts full query invariance
+    (the fbb sweep loads the query sets once). The held buffers are
+    dropped on any OOM recovery that needs their HBM back."""
     n_q, n_s = queries.shape[0], syn.shape[0]
     row_bytes = _phys_row_bytes([tuple(p.shape[1:]) for p in probe],
                                 jnp.dtype(cdtype).itemsize)
@@ -548,6 +561,18 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)
 
+    # cross-call reuse fingerprint (see docstring): shapes/dtypes plus a
+    # first-row content hash — cheap (one row readback per call) and
+    # catches the obvious caller error of swapping in a different
+    # same-shaped query set without full-array comparison cost
+    reuse_fp = None
+    if query_reuse is not None:
+        reuse_fp = (n_q,
+                    tuple((tuple(p.shape[1:]), str(p.dtype))
+                          for p in probe),
+                    str(jnp.dtype(cdtype)),
+                    hash(np.asarray(queries[0:1]).tobytes()))
+
     outs = []
     qs0 = 0
     s_block0 = s_block
@@ -555,43 +580,55 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
         end = min(n_q, qs0 + chunk_rows)
         n_rows = end - qs0
         padded = n_rows + (-n_rows) % q_block
-        try:
-            bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
-                    for p in probe]
-            rq = jnp.zeros((padded,), jnp.float32)
-            # surface alloc failures HERE, on EVERY buffer: allocation is
-            # async, and blocking only on the small rq let a failed
-            # multi-GB bufs alloc poison the runtime and burst out of an
-            # unguarded eager op later (seen at the 12 GB north-star
-            # cache: the OOM surfaced at a query slice, skipping this
-            # resume entirely)
-            jax.block_until_ready((bufs, rq))
-        except Exception as e:
-            # an over-ambitious query_cache_bytes must degrade to more
-            # chunks, not kill the run (an 11 GB cache request on a
-            # 16 GB chip OOMs at allocation, where no other resume path
-            # can help)
-            if not _is_oom(e) or chunk_rows <= q_block:
-                raise
-            chunk_rows = max(q_block,
-                             (chunk_rows // 2) // q_block * q_block)
-            # drop device references a failed prior attempt left in this
-            # frame's locals — when the OOM surfaced at block_until_ready
-            # rather than inside the comprehension, ``bufs``/``rq`` are
-            # BOUND to the failed multi-GB buffers, and the last
-            # featurized query block (``parts``) alone is ~1 GB at
-            # north-star shapes — then fence so in-flight work, whose
-            # buffers pin HBM until execution drains, completes before
-            # the retry allocation (TPU executes in order)
-            bufs = rq = None  # noqa: F841
-            parts = rq_part = s_parts = rs_blk = None  # noqa: F841
-            if not _free_fence():
-                raise
-            print(f"[knn] query cache allocation OOM; "
-                  f"chunk_rows={chunk_rows} (more synthetic sweeps; "
-                  f"{_hbm_live()})")
-            continue
-        qs = qs0
+        reused = (query_reuse is not None and qs0 == 0 and end == n_q
+                  and query_reuse.get("fp") == reuse_fp)
+        if reused:
+            # the held cache was verified (drained) when stored; its
+            # padding may differ from this call's q_block — adopt it
+            padded = query_reuse["padded"]
+            bufs, rq = query_reuse["bufs"], query_reuse["rq"]
+        else:
+            try:
+                bufs = [jnp.zeros((padded,) + tuple(p.shape[1:]), cdtype)
+                        for p in probe]
+                rq = jnp.zeros((padded,), jnp.float32)
+                # surface alloc failures HERE, on EVERY buffer:
+                # allocation is async, and blocking only on the small rq
+                # let a failed multi-GB bufs alloc poison the runtime and
+                # burst out of an unguarded eager op later (seen at the
+                # 12 GB north-star cache: the OOM surfaced at a query
+                # slice, skipping this resume entirely)
+                jax.block_until_ready((bufs, rq))
+            except Exception as e:
+                # an over-ambitious query_cache_bytes must degrade to
+                # more chunks, not kill the run (an 11 GB cache request
+                # on a 16 GB chip OOMs at allocation, where no other
+                # resume path can help)
+                if not _is_oom(e) or chunk_rows <= q_block:
+                    raise
+                chunk_rows = max(q_block,
+                                 (chunk_rows // 2) // q_block * q_block)
+                # drop device references a failed prior attempt left in
+                # this frame's locals — when the OOM surfaced at
+                # block_until_ready rather than inside the comprehension,
+                # ``bufs``/``rq`` are BOUND to the failed multi-GB
+                # buffers, and the last featurized query block
+                # (``parts``) alone is ~1 GB at north-star shapes — then
+                # fence so in-flight work, whose buffers pin HBM until
+                # execution drains, completes before the retry
+                # allocation (TPU executes in order). A held cross-call
+                # cache is HBM this recovery needs back: drop it too.
+                bufs = rq = None  # noqa: F841
+                parts = rq_part = s_parts = rs_blk = None  # noqa: F841
+                if query_reuse:
+                    query_reuse.clear()
+                if not _free_fence():
+                    raise
+                print(f"[knn] query cache allocation OOM; "
+                      f"chunk_rows={chunk_rows} (more synthetic sweeps; "
+                      f"{_hbm_live()})")
+                continue
+        qs = end if reused else qs0
         inflight: deque = deque()  # backpressure window (see docstring)
         refeaturize = False
         oom_err: Exception | None = None
@@ -640,7 +677,7 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 q_block = max(1, q_block // 2)
                 refeaturize, oom_err = True, e
                 break
-        if not refeaturize:
+        if not refeaturize and not reused:
             try:
                 # verify the WHOLE cache before sweeping: a deferred
                 # featurize failure still in flight must not surface
@@ -661,6 +698,13 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
             print(f"[knn] deferred query featurize OOM; q_block={q_block} "
                   f"(refeaturizing the chunk at row {qs0}; {_hbm_live()})")
             continue  # fresh bufs at the chunk-loop top; qs0 unchanged
+        if query_reuse is not None and not reused and qs0 == 0 \
+                and end == n_q:
+            # single-chunk cache, verified good: hold it for the next
+            # call over the same query set (the sweep's next subdir)
+            query_reuse.clear()
+            query_reuse.update(fp=reuse_fp, padded=padded,
+                               bufs=bufs, rq=rq)
         state = init_state(padded)
         ss = 0
         restart_chunk = False
@@ -751,6 +795,10 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
         if restart_chunk:
             del bufs, rq, state
             parts = rq_part = s_parts = rs_blk = None  # noqa: F841
+            if query_reuse:
+                # the held cache (this chunk's own buffers, or a stale
+                # entry) is HBM the shrunken-chunk retry needs back
+                query_reuse.clear()
             if not _free_fence():
                 raise oom_err
             continue
@@ -766,7 +814,8 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                         engine: str = "gemm", q_block: int = 2048,
                         s_block: int = 2048, pallas: bool = False,
                         query_cache_bytes: int = 8 << 30,
-                        precision: str | None = None
+                        precision: str | None = None,
+                        query_reuse: dict | None = None
                         ) -> tuple[Array, Array]:
     """1-NN where embeddings are produced on the fly, block by block —
     for feature spaces too large to materialize (LPIPS at 64x64 is ~512k
@@ -867,7 +916,7 @@ def knn_argmin_streamed(embed_fn, queries: Array, syn: Array, *,
                           q_block=q_block, s_block=s_block,
                           query_cache_bytes=query_cache_bytes,
                           cdtype=cdtype, init_state=init_state, fold=fold,
-                          take=take)
+                          take=take, query_reuse=query_reuse)
 
 
 # ---------------------------------------------------------------------------
@@ -1187,7 +1236,8 @@ def knn_argmin_streamed_parts(embed_fn, queries: Array, syn: Array, *,
                               q_block: int = 2048, s_block: int = 2048,
                               query_cache_bytes: int = 8 << 30,
                               precision: str | None = None,
-                              quantize: bool = False
+                              quantize: bool = False,
+                              query_reuse: dict | None = None
                               ) -> tuple[Array, Array]:
     """1-NN like :func:`knn_argmin_streamed`, over a STRUCTURED embedding:
     ``embed_fn`` returns a list of parts (see
@@ -1240,7 +1290,8 @@ def knn_argmin_streamed_parts(embed_fn, queries: Array, syn: Array, *,
         block_norms, probe, queries, syn,
         q_block=q_block, s_block=s_block,
         query_cache_bytes=query_cache_bytes,
-        cdtype=cdtype, init_state=init_state, fold=fold, take=take))
+        cdtype=cdtype, init_state=init_state, fold=fold, take=take,
+        query_reuse=query_reuse))
 
 
 @partial(jax.jit, static_argnames=("k",))
