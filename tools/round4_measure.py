@@ -222,7 +222,11 @@ def run_vaegan(workdir: str) -> None:
     from ganleaks_tpu.train import vaegan
 
     st = Stages()
-    res, n_m, nepoch = 64, (24 if SMOKE else 2000), (1 if SMOKE else 30)
+    # default 10: the fixture manifold sends the hinge D NaN around
+    # epoch 15 (VAE-GAN instability, faithful to the reference's loss);
+    # stop before it for a sane encoder
+    nepoch = 1 if SMOKE else int(os.environ.get("R4_VAEGAN_EPOCHS", "10"))
+    res, n_m = 64, (24 if SMOKE else 2000)
     members = make_manifold(n_m, res, seed=30)
     nonmembers = make_manifold(n_m, res, seed=31)
     # the reconstruction reader consumes PNG dirs (vaegan center-crop
