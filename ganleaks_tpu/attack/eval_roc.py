@@ -37,12 +37,31 @@ def evaluate(cfg: EvalConfig, pos_loss: np.ndarray | None = None,
     pos_loss = np.asarray(pos_loss, np.float32).reshape(-1)
     neg_loss = np.asarray(neg_loss, np.float32).reshape(-1)
 
+    # Non-finite losses sort arbitrarily through argsort/cumsum and emerge
+    # as a plausible-looking scalar (a diverged VAE-GAN once produced a
+    # confident AUROC 0.0 this way). A membership-inference framework must
+    # refuse to score garbage: raise unless the caller explicitly opted in,
+    # and even then flag the result as degenerate.
+    n_bad_pos = int(np.size(pos_loss) - np.isfinite(pos_loss).sum())
+    n_bad_neg = int(np.size(neg_loss) - np.isfinite(neg_loss).sum())
+    degenerate = bool(n_bad_pos or n_bad_neg)
+    if degenerate and not cfg.allow_nonfinite:
+        raise ValueError(
+            f"non-finite attack losses: {n_bad_pos}/{pos_loss.size} pos, "
+            f"{n_bad_neg}/{neg_loss.size} neg — the victim or the attack "
+            f"diverged; refusing to compute a meaningless AUROC. Pass "
+            f"EvalConfig(allow_nonfinite=True) to score anyway (the result "
+            f"will carry degenerate=True).")
+
     res: RocResult = roc_curve_auc(jnp.asarray(-pos_loss),
                                    jnp.asarray(-neg_loss),
                                    cfg.precision_threshold)
     out = {"auc": float(res.auc), "ap": float(res.ap),
            "precision": float(res.precision),
            "fpr": np.asarray(res.fpr), "tpr": np.asarray(res.tpr)}
+    if degenerate:
+        out.update({"degenerate": True, "nonfinite_pos": n_bad_pos,
+                    "nonfinite_neg": n_bad_neg})
 
     if cfg.reference_load_dir is not None:
         pos_ref, neg_ref = load_losses(cfg.reference_load_dir,
@@ -59,6 +78,13 @@ def evaluate(cfg: EvalConfig, pos_loss: np.ndarray | None = None,
                 f"{len(pos_loss)} pos / {len(neg_loss)} neg losses, "
                 f"reference has {len(pos_ref)} / {len(neg_ref)} — the "
                 f"runs must score the same query sets in the same order")
+        n_bad_ref = int((~np.isfinite(pos_ref)).sum()
+                        + (~np.isfinite(neg_ref)).sum())
+        if n_bad_ref and not cfg.allow_nonfinite:
+            raise ValueError(
+                f"non-finite reference-model losses ({n_bad_ref} values) in "
+                f"{cfg.reference_load_dir} — the calibration baseline is "
+                f"garbage; refusing to compute a calibrated AUROC.")
         pos_cal = pos_loss - pos_ref
         neg_cal = neg_loss - neg_ref
         cal = roc_curve_auc(jnp.asarray(-pos_cal), jnp.asarray(-neg_cal),

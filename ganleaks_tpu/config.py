@@ -288,6 +288,11 @@ class EvalConfig:
     save_dir: bool = True
     precision_threshold: float = -0.14       # hardcoded in eval_roc.py:21-23
     wandb: str | None = None
+    # non-finite losses (a diverged victim, a NaN'd attack) would flow
+    # through argsort/cumsum and emerge as a confident-looking AUROC.
+    # Default: refuse to score them. True: score anyway but return
+    # degenerate=True + counts so callers must acknowledge the garbage.
+    allow_nonfinite: bool = False
 
 
 # ---------------------------------------------------------------------------

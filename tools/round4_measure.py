@@ -64,8 +64,25 @@ RESULTS = os.environ.get("R4_RESULTS",
 SMOKE = False  # --smoke: tiny scales for a CPU plumbing check
 
 
+def _assert_finite(obj, path="row") -> None:
+    """Refuse to record non-finite metrics — a NaN'd AUROC emitted as a
+    number once masqueraded as a result (ADVICE r4 #2)."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _assert_finite(v, f"{path}.{k}")
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            _assert_finite(v, f"{path}[{i}]")
+    elif isinstance(obj, float) and not np.isfinite(obj):
+        raise ValueError(f"non-finite metric at {path}: {obj!r} — refusing "
+                         f"to emit a degenerate row")
+
+
 def emit(row: dict) -> None:
-    row = dict(row, ts=time.strftime("%Y-%m-%d %H:%M:%S"))
+    _assert_finite(row)
+    # smoke rows are labeled AND kept out of the canonical results file
+    # (ADVICE r4 #3: a smoke run must not contaminate round4_results.jsonl)
+    row = dict(row, smoke=SMOKE, ts=time.strftime("%Y-%m-%d %H:%M:%S"))
     with open(RESULTS, "a") as f:
         f.write(json.dumps(row) + "\n")
     print("ROW " + json.dumps(row), flush=True)
@@ -168,8 +185,10 @@ def run_dcgan(workdir: str) -> None:
                       image_size=res, PATH=os.path.join(workdir, "model"),
                       PATH_syn_data=os.path.join(workdir, "syn"),
                       sample_grid_dir=None, seed=0)
-    state = st.run("train_100ep", lambda: dcgan.train(cfg, images=train_imgs))
-    dirs = st.run("sample_2040", lambda: dcgan.generate(cfg, state, "r4"))
+    state = st.run(f"train_{cfg.num_epochs}ep",
+                   lambda: dcgan.train(cfg, images=train_imgs))
+    dirs = st.run(f"sample_{cfg.num_generated}",
+                  lambda: dcgan.generate(cfg, state, "r4"))
 
     ev_l2 = attack_and_eval(workdir, "dcgan_l2", dirs["npz_images"], pos,
                             neg, st, distance="l2", resolution=res,
@@ -179,8 +198,9 @@ def run_dcgan(workdir: str) -> None:
                             data_num=n_m, save_plots=True,
                             stage_prefix="lpips_")
     emit({"config": "dcgan_lifecycle", "scale":
-          {"train": len(train_imgs), "epochs": 100, "batch": 32,
-           "generated": 2040, "queries": 2 * n_m},
+          {"train": len(train_imgs), "epochs": cfg.num_epochs,
+           "batch": cfg.batch_size, "generated": cfg.num_generated,
+           "queries": 2 * n_m},
           "stages_s": st.t, "auroc_l2": ev_l2[0]["auc"],
           "auroc_lpips": ev_lp[0]["auc"]})
 
@@ -203,14 +223,17 @@ def run_wgangp(workdir: str) -> None:
                        image_size=res, PATH=os.path.join(workdir, "model"),
                        PATH_syn_data=os.path.join(workdir, "syn"),
                        sample_grid_dir=None, seed=0)
-    state = st.run("train_5ep", lambda: wgangp.train(cfg, images=train_imgs))
-    dirs = st.run("sample_2040", lambda: wgangp.generate(cfg, state, "r4"))
+    state = st.run(f"train_{cfg.num_epochs}ep",
+                   lambda: wgangp.train(cfg, images=train_imgs))
+    dirs = st.run(f"sample_{cfg.num_generated}",
+                  lambda: wgangp.generate(cfg, state, "r4"))
     ev = attack_and_eval(workdir, "wgangp_alex", dirs["npz_images"], pos,
                          neg, st, distance="l2-lpips", lpips_net="alex",
                          resolution=res, data_num=n_m)
     emit({"config": "wgangp_lpips_alex", "scale":
-          {"train": len(train_imgs), "epochs": 5, "batch": 32,
-           "generated": 2040, "queries": 2 * n_m},
+          {"train": len(train_imgs), "epochs": cfg.num_epochs,
+           "batch": cfg.batch_size, "generated": cfg.num_generated,
+           "queries": 2 * n_m},
           "stages_s": st.t, "auroc": ev[0]["auc"]})
 
 
@@ -246,7 +269,8 @@ def run_vaegan(workdir: str) -> None:
                        lambda: vaegan.train(cfg, images=members,
                                             resume=False))
         out_dir = os.path.join(workdir, "vaegan_samples")
-        st.run("sample_20000", lambda: vaegan.sample(cfg, state, out_dir))
+        st.run(f"sample_{cfg.num_samples}",
+               lambda: vaegan.sample(cfg, state, out_dir))
         save_dir = os.path.join(workdir, "results", "r4")
 
         rcfg = ReconstructionConfig(
@@ -269,7 +293,7 @@ def run_vaegan(workdir: str) -> None:
     finally:
         os.chdir(cwd)
     emit({"config": "vaegan_recon_plus_fbb", "scale":
-          {"train": n_m, "epochs": nepoch, "samples": 20000,
+          {"train": n_m, "epochs": nepoch, "samples": cfg.num_samples,
            "queries": 2 * n_m},
           "stages_s": st.t, "auroc_recon": recon_auc,
           "auroc_fbb": ev[0]["auc"]})
@@ -297,11 +321,11 @@ def run_medgan(workdir: str) -> None:
                        batch_size=20 if SMOKE else 2000,
                        generate_N=64 if SMOKE else 10000,
                        PATH=os.path.join(workdir, "model"), seed=0)
-    state = st.run("train_1000ep",
+    state = st.run(f"train_{cfg.n_epochs}ep",
                    lambda: medgan.train(cfg, data=train_rows,
                                         test_data=test_rows))
     syn_dir = os.path.join(workdir, "syn")
-    st.run("generate_10000",
+    st.run(f"generate_{cfg.generate_N}",
            lambda: medgan.generate(cfg, state, out_dir=syn_dir))
 
     pos_p = os.path.join(workdir, "pos.npy")
@@ -318,8 +342,9 @@ def run_medgan(workdir: str) -> None:
     auc = float(evaluate(EvalConfig(
         result_load_dir=tout["save_dir"]))["auc"])
     emit({"config": "medgan_tabular", "scale":
-          {"rows": n, "features": d, "epochs": 1000, "batch": 2000,
-           "generated": 10000, "queries": 2000},
+          {"rows": n, "features": d, "epochs": cfg.n_epochs,
+           "batch": cfg.batch_size, "generated": cfg.generate_N,
+           "queries": 2 * nq},
           "stages_s": st.t,
           "query_pairs_per_sec": tout.get("query_pairs_per_sec"),
           "auroc": auc})
@@ -364,9 +389,16 @@ def run_pggan_highres(workdir: str) -> None:
 
     probe = AttackConfig(engine="auto", resolution=res)
     resolved = resolve_auto_engine(probe).engine
-    assert resolved == "taps", (
-        f"auto at {res}px resolved to {resolved!r}; expected the "
-        f"int8->taps degrade (s32 dot bound, ops/knn._part_bounds_for)")
+    if jax.default_backend() == "tpu":
+        # the int8->taps degrade is a TPU s32-dot-bound decision; off-TPU
+        # the resolver returns 'gemm' and this config is just a plumbing
+        # check (ADVICE r4 #4)
+        assert resolved == "taps", (
+            f"auto at {res}px resolved to {resolved!r}; expected the "
+            f"int8->taps degrade (s32 dot bound, ops/knn._part_bounds_for)")
+    else:
+        print(f"  [pggan_highres] off-TPU: auto resolved to {resolved!r}; "
+              f"taps assert skipped", flush=True)
 
     ev = attack_and_eval(workdir, "pggan256", syn_p, pos, neg, st,
                          distance="l2-lpips", resolution=res,
@@ -441,7 +473,7 @@ def run_privdcgan(workdir: str) -> None:
                      "auroc_calibrated": float(cal["auc_calibrated"])})
     emit({"config": "privdcgan_grid", "scale":
           {"train": n_m, "epochs": epochs, "splits": 2,
-           "generated_per_point": 1024, "queries": 1024},
+           "generated_per_point": base.num_generated, "queries": 2 * nq},
           "stages_s": st.t, "grid_points": rows,
           "reference_auroc": ref_ev[0]["auc"]})
 
@@ -489,8 +521,12 @@ def main() -> None:
     ap.add_argument("--smoke", action="store_true",
                     help="tiny scales for a CPU plumbing check")
     args = ap.parse_args()
-    global SMOKE
+    global SMOKE, RESULTS
     SMOKE = args.smoke
+    if SMOKE and "R4_RESULTS" not in os.environ:
+        # keep tiny-run timings out of the canonical results file
+        RESULTS = os.path.join(args.workdir, "round4_results.smoke.jsonl")
+        os.makedirs(args.workdir, exist_ok=True)
     names = list(CONFIGS) if args.only is None else args.only.split(",")
     for name in names:
         wd = os.path.join(args.workdir, name)
