@@ -193,12 +193,20 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             sweep_cache["embed_key"] = embed_key
             sweep_cache["embeds"] = (embed, embed_struct,
                                      embed_lo, embed_hi)
-    # cross-subdir query-embedding reuse: single-chip streamed paths
-    # only (the mesh drivers and the two-pass rerank manage their own
-    # caches; threading reuse there is future work)
-    query_reuse = None
-    if sweep_cache is not None and mesh is None and not cfg.two_pass:
-        query_reuse = sweep_cache.setdefault("query_reuse", {})
+    # cross-subdir query-embedding reuse, on every path that owns a
+    # query cache: the single-pass engines (single-chip, mesh-sharded
+    # and ring) share one holder, and the two-pass modes get separate
+    # holders for the pass-1 (lo-precision) and re-rank (f32) caches —
+    # their fingerprints differ, so one dict would evict the other every
+    # call. The ring layout reuses its per-chip SHARDED cache (and skips
+    # re-shipping the query images).
+    query_reuse = reuse_lo = reuse_hi = None
+    if sweep_cache is not None:
+        if cfg.two_pass:
+            reuse_lo = sweep_cache.setdefault("query_reuse_lo", {})
+            reuse_hi = sweep_cache.setdefault("query_reuse_hi", {})
+        else:
+            query_reuse = sweep_cache.setdefault("query_reuse", {})
 
     if cfg.drop_remainder:  # strict parity with fbb.py:77
         k = truncate_to_batches(len(syn), cfg.BATCH_SIZE)
@@ -230,8 +238,7 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_ring_streamed(
                 embed_struct if structured else embed, q_j, syn_j, mesh,
                 engine=cfg.engine, q_block=cfg.query_block,
-                s_block=cfg.syn_block)  # ring: no query cache (both
-                # sets sharded; embedded blocks rotate instead)
+                s_block=cfg.syn_block, query_reuse=query_reuse)
         elif mesh is not None and cfg.two_pass:
             # sharded streamed pass 1, replicated exact re-rank, runtime
             # exactness certificate (parallel/knn_shard)
@@ -241,7 +248,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                 embed_lo, embed_hi, q_j, syn_j, mesh,
                 k=cfg.two_pass_k, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block,
-                query_cache_bytes=cache_bytes)
+                query_cache_bytes=cache_bytes,
+                query_reuse=reuse_lo, rerank_reuse=reuse_hi)
         elif mesh is not None:
             # mesh at single-chip engine parity: each chip featurizes only
             # its shard, chunked replicated query cache, bf16 streams,
@@ -251,7 +259,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
             d, i = knn_argmin_sharded_streamed(
                 embed_struct if structured else embed, q_j, syn_j, mesh,
                 engine=cfg.engine, q_block=cfg.query_block,
-                s_block=cfg.syn_block, query_cache_bytes=cache_bytes)
+                s_block=cfg.syn_block, query_cache_bytes=cache_bytes,
+                query_reuse=query_reuse)
         elif cfg.two_pass:
             # exact-index throughput mode: reduced-precision tower
             # candidates + f32 re-rank at precision='highest' with the
@@ -261,7 +270,8 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
                 embed_lo, embed_hi, q_j,
                 syn_j, k=cfg.two_pass_k, engine=cfg.engine,
                 q_block=cfg.query_block, s_block=cfg.syn_block,
-                query_cache_bytes=cache_bytes)
+                query_cache_bytes=cache_bytes,
+                query_reuse=reuse_lo, rerank_reuse=reuse_hi)
         elif structured:
             # tap-structured embeddings: no flat relayout (docs/PERF.md);
             # 'taps-int8' streams int8 parts with static rigorous scales

@@ -1353,7 +1353,8 @@ def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
                             s_block: int = 2048,
                             query_cache_bytes: int = 8 << 30,
                             with_info: bool = False,
-                            quantize: bool = False):
+                            quantize: bool = False,
+                            query_reuse: dict | None = None):
     """Per-query k smallest distances + indices over a STRUCTURED
     embedding (parts list) — the top-k analog of
     :func:`knn_argmin_streamed_parts`, used as pass 1 of the two-pass
@@ -1394,7 +1395,8 @@ def knn_topk_streamed_parts(embed_fn, queries: Array, syn: Array, *,
         block_norms, probe, queries, syn,
         q_block=q_block, s_block=s_block,
         query_cache_bytes=query_cache_bytes,
-        cdtype=cdtype, init_state=init_state, fold=fold, take=take))
+        cdtype=cdtype, init_state=init_state, fold=fold, take=take,
+        query_reuse=query_reuse))
 
 
 @partial(jax.jit, static_argnames=("k", "engine"))
@@ -1451,7 +1453,8 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                       engine: str = "gemm", q_block: int = 2048,
                       s_block: int = 2048,
                       query_cache_bytes: int = 8 << 30,
-                      with_info: bool = False):
+                      with_info: bool = False,
+                      query_reuse: dict | None = None):
     """Per-query k smallest distances + their indices, streamed like
     :func:`knn_argmin_streamed` (embeddings produced block by block,
     queries featurized in the largest chunks that fit
@@ -1513,7 +1516,7 @@ def knn_topk_streamed(embed_fn, queries: Array, syn: Array, *, k: int = 8,
                           q_block=q_block, s_block=s_block,
                           query_cache_bytes=query_cache_bytes,
                           cdtype=cdtype, init_state=init_state, fold=fold,
-                          take=take)
+                          take=take, query_reuse=query_reuse)
 
 
 def two_pass_certificate(d_exact: np.ndarray, topk_d: np.ndarray,
@@ -1565,7 +1568,9 @@ def _default_cert_eta(demoted: bool) -> float:
 
 def _rerank_candidates(embed_hi, queries: Array, syn, cand: np.ndarray, *,
                        engine: str, q_block: int, s_block: int,
-                       query_cache_bytes: int) -> tuple[Array, Array]:
+                       query_cache_bytes: int,
+                       query_reuse: dict | None = None
+                       ) -> tuple[Array, Array]:
     """Exact re-rank restricted to the candidate union. Always the XLA
     gemm at ``precision='highest'`` (the pallas kernel's whole point is
     bf16 streams — wrong tool here). Blocks/cache shrink: everything here
@@ -1586,7 +1591,7 @@ def _rerank_candidates(embed_hi, queries: Array, syn, cand: np.ndarray, *,
         q_block=min(q_block, 1024),
         s_block=min(s_block, 1024, max(8, len(cand))),
         query_cache_bytes=min(query_cache_bytes, 2 << 30),
-        precision="highest")
+        precision="highest", query_reuse=query_reuse)
     return d, jnp.asarray(cand, jnp.int32)[i_sub]
 
 
@@ -1595,7 +1600,9 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
                         q_block: int = 2048, s_block: int = 2048,
                         query_cache_bytes: int = 8 << 30,
                         cert_eta: float | None = None,
-                        return_cert: bool = False):
+                        return_cert: bool = False,
+                        query_reuse: dict | None = None,
+                        rerank_reuse: dict | None = None):
     """Throughput mode with exact-index re-ranking and a runtime
     exactness certificate.
 
@@ -1633,17 +1640,18 @@ def knn_argmin_two_pass(embed_lo, embed_hi, queries: Array, syn: Array, *,
         topk_d, top_i, rq, rs_max = knn_topk_streamed_parts(
             embed_lo, queries, syn, k=k, q_block=q_block,
             s_block=s_block, query_cache_bytes=query_cache_bytes,
-            with_info=True, quantize=quant)
+            with_info=True, quantize=quant, query_reuse=query_reuse)
     else:
         topk_d, top_i, rq, rs_max = knn_topk_streamed(
             embed_lo, queries, syn, k=k, engine=engine, q_block=q_block,
             s_block=s_block, query_cache_bytes=query_cache_bytes,
-            with_info=True)
+            with_info=True, query_reuse=query_reuse)
     cand = np.unique(np.asarray(top_i).ravel())
     d, idx = _rerank_candidates(embed_hi, queries, syn, cand,
                                 engine=engine, q_block=q_block,
                                 s_block=s_block,
-                                query_cache_bytes=query_cache_bytes)
+                                query_cache_bytes=query_cache_bytes,
+                                query_reuse=rerank_reuse)
 
     probe_dt = (list(probe)[0] if engine in ("taps", "taps-int8")
                 else probe).dtype

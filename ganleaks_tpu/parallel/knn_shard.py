@@ -312,12 +312,20 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                         structured: bool, engine: str, k: int | None,
                         q_block: int, s_block: int, query_cache_bytes: int,
                         precision: str | None, with_info: bool = False,
-                        quantize: bool = False):
+                        quantize: bool = False,
+                        query_reuse: dict | None = None):
     """Driver shared by the mesh argmin/top-k searches. Mirrors
     ``ops/knn._stream_search``'s memory discipline; state lives sharded
     (one (min, argmin) or top-k row-set per shard) and is combined once at
     the end of each query chunk. ``quantize`` streams int8 parts with the
-    same static rigorous scales as the single-chip engine."""
+    same static rigorous scales as the single-chip engine.
+
+    ``query_reuse`` carries the replicated query-embedding cache across
+    calls with the same semantics as ``ops/knn._stream_search``: engages
+    only when the whole query set fits one cache chunk, keyed by
+    shape/dtype/mesh plus a first-row content hash, dropped whenever an
+    OOM recovery needs its HBM back (the fbb mesh sweep re-runs the
+    search once per synthetic subdir with subdir-invariant queries)."""
     n_dev = mesh.shape[axis]
     n_q, n_s = queries.shape[0], syn.shape[0]
     rep = NamedSharding(mesh, P())
@@ -414,6 +422,16 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                         jax.jit(combine, out_shardings=(rep, rep)))
     zeros_rep, init_state, combine = hcache[hkey]
 
+    # cross-call reuse fingerprint (ops/knn._stream_search): shapes +
+    # dtypes + the mesh placement + a first-row content hash
+    reuse_fp = None
+    if query_reuse is not None:
+        reuse_fp = (n_q,
+                    tuple((tuple(p.shape[1:]), str(p.dtype))
+                          for p in probe),
+                    str(jnp.dtype(cdtype)), mesh, axis,
+                    hash(np.asarray(queries[0:1]).tobytes()))
+
     outs = []
     rs_max_val = None
     qs0 = 0
@@ -421,20 +439,29 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         end = min(n_q, qs0 + chunk_rows)
         n_rows = end - qs0
         padded = n_rows + (-n_rows) % q_block
-        try:
-            bufs = [zeros_rep((padded,) + tuple(p.shape[1:]), cdtype)
-                    for p in probe]
-            rq = zeros_rep((padded,), jnp.float32)
-            jax.block_until_ready(rq)  # surface alloc failures HERE
-        except Exception as e:
-            if not _is_oom(e) or chunk_rows <= q_block:
-                raise
-            chunk_rows = max(q_block,
-                             (chunk_rows // 2) // q_block * q_block)
-            print(f"[knn-mesh] query cache allocation OOM; "
-                  f"chunk_rows={chunk_rows} (more synthetic sweeps)")
-            continue
-        qs = qs0
+        reused = (query_reuse is not None and qs0 == 0 and end == n_q
+                  and query_reuse.get("fp") == reuse_fp)
+        if reused:
+            # held cache was drain-verified when stored; adopt its padding
+            padded = query_reuse["padded"]
+            bufs, rq = query_reuse["bufs"], query_reuse["rq"]
+        else:
+            try:
+                bufs = [zeros_rep((padded,) + tuple(p.shape[1:]), cdtype)
+                        for p in probe]
+                rq = zeros_rep((padded,), jnp.float32)
+                jax.block_until_ready(rq)  # surface alloc failures HERE
+            except Exception as e:
+                if not _is_oom(e) or chunk_rows <= q_block:
+                    raise
+                chunk_rows = max(q_block,
+                                 (chunk_rows // 2) // q_block * q_block)
+                if query_reuse:  # held HBM this recovery needs back
+                    query_reuse.clear()
+                print(f"[knn-mesh] query cache allocation OOM; "
+                      f"chunk_rows={chunk_rows} (more synthetic sweeps)")
+                continue
+        qs = end if reused else qs0
         inflight: deque = deque()  # backpressure window (ops/knn docstring)
         refeaturize = False
         oom_err: Exception | None = None
@@ -506,7 +533,7 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                     raise
                 refeaturize, oom_err = True, e
                 break
-        if not refeaturize:
+        if not refeaturize and not reused:
             try:
                 # verify the whole cache before sweeping so a deferred
                 # featurize failure cannot masquerade as a fold failure
@@ -526,12 +553,21 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         if refeaturize:
             inflight.clear()
             bufs = rq = parts = rq_part = None  # noqa: F841
+            if query_reuse:  # held HBM this recovery needs back
+                query_reuse.clear()
             if not _free_fence():
                 raise oom_err
             print(f"[knn-mesh] deferred query featurize OOM; "
                   f"q_block={q_block} (refeaturizing the chunk at row "
                   f"{qs0})")
             continue  # fresh bufs at the chunk-loop top; qs0 unchanged
+        if query_reuse is not None and not reused and qs0 == 0 \
+                and end == n_q:
+            # single-chunk cache, drain-verified: hold it for the next
+            # call over the same query set (the sweep's next subdir)
+            query_reuse.clear()
+            query_reuse.update(fp=reuse_fp, padded=padded,
+                               bufs=bufs, rq=rq)
 
         st_shape = (n_dev, padded) if k is None else (n_dev, padded, k)
         run_d, run_i = init_state(st_shape)
@@ -634,7 +670,8 @@ def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                                 s_block: int = 2048,
                                 query_cache_bytes: int = 8 << 30,
                                 precision: str | None = None,
-                                axis: str | None = None
+                                axis: str | None = None,
+                                query_reuse: dict | None = None
                                 ) -> tuple[Array, Array]:
     """Mesh 1-NN at single-chip engine parity: generated set sharded, each
     chip featurizes only its shard (once per query chunk), query featurize
@@ -655,7 +692,7 @@ def knn_argmin_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
         embed_fn, queries, syn, mesh, axis=axis, structured=structured,
         engine=engine, k=None, q_block=q_block, s_block=s_block,
         query_cache_bytes=query_cache_bytes, precision=precision,
-        quantize=engine == "taps-int8")
+        quantize=engine == "taps-int8", query_reuse=query_reuse)
 
 
 def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
@@ -663,7 +700,8 @@ def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                               q_block: int = 2048, s_block: int = 2048,
                               query_cache_bytes: int = 8 << 30,
                               axis: str | None = None,
-                              with_info: bool = False):
+                              with_info: bool = False,
+                              query_reuse: dict | None = None):
     """Per-query k smallest distances + indices on a mesh (pass 1 of the
     mesh two-pass mode). Same streaming/memory discipline as
     :func:`knn_argmin_sharded_streamed`; per-shard top-k states merge with
@@ -678,7 +716,8 @@ def knn_topk_sharded_streamed(embed_fn, queries, syn, mesh: Mesh, *,
         embed_fn, queries, syn, mesh, axis=axis, structured=structured,
         engine=engine, k=k, q_block=q_block, s_block=s_block,
         query_cache_bytes=query_cache_bytes, precision=None,
-        with_info=with_info, quantize=engine == "taps-int8")
+        with_info=with_info, quantize=engine == "taps-int8",
+        query_reuse=query_reuse)
 
 
 def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
@@ -687,7 +726,9 @@ def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
                              query_cache_bytes: int = 8 << 30,
                              cert_eta: float | None = None,
                              axis: str | None = None,
-                             return_cert: bool = False):
+                             return_cert: bool = False,
+                             query_reuse: dict | None = None,
+                             rerank_reuse: dict | None = None):
     """Two-pass exact-index mode on a mesh: sharded streamed top-k
     (pass 1) + replicated exact re-rank of the tiny candidate union
     (pass 2, ``precision='highest'``), with the same runtime exactness
@@ -699,12 +740,13 @@ def knn_argmin_two_pass_mesh(embed_lo, embed_hi, queries, syn, mesh: Mesh,
     topk_d, top_i, info = knn_topk_sharded_streamed(
         embed_lo, queries, syn, mesh, k=k, engine=engine, q_block=q_block,
         s_block=s_block, query_cache_bytes=query_cache_bytes, axis=axis,
-        with_info=True)
+        with_info=True, query_reuse=query_reuse)
     cand = np.unique(np.asarray(top_i).ravel())
     d, idx = _rerank_candidates(embed_hi, queries, syn, cand,
                                 engine=engine, q_block=q_block,
                                 s_block=s_block,
-                                query_cache_bytes=query_cache_bytes)
+                                query_cache_bytes=query_cache_bytes,
+                                query_reuse=rerank_reuse)
     abs_err = (_quant_abs_err(info["bounds"], info["part_shapes"])
                if info["bounds"] is not None else 0.0)
     eta = cert_eta if cert_eta is not None else \
@@ -857,11 +899,17 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                              engine: str = "gemm", q_block: int = 2048,
                              s_block: int = 2048,
                              precision: str | None = None,
-                             axis: str | None = None
+                             axis: str | None = None,
+                             query_reuse: dict | None = None
                              ) -> tuple[Array, Array]:
     """Ring-pass 1-NN at streamed-engine parity (see module comment):
     featurize-once per row, embedded blocks rotate over ICI, per-chip
-    memory flat in both set sizes. Supports gemm/exact/taps/taps-int8."""
+    memory flat in both set sizes. Supports gemm/exact/taps/taps-int8.
+
+    ``query_reuse`` carries the per-chip sharded query cache across calls
+    (same contract as the other drivers: fingerprinted on shape / dtype /
+    mesh / first-row hash; the fbb sweep's queries are subdir-invariant).
+    A hit also skips re-shipping the query images to the mesh."""
     axis = axis or mesh.axis_names[0]
     structured = engine in ("taps", "taps-int8")
     quantize = engine == "taps-int8"
@@ -899,6 +947,21 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     s_block = min(s_block, shard)
     shard_p = -(-shard // s_block) * s_block
 
+    # cross-call reuse fingerprint (ops/knn._stream_search contract)
+    reuse_fp = None
+    if query_reuse is not None:
+        reuse_fp = (n_q,
+                    tuple((tuple(p.shape[1:]), str(p.dtype))
+                          for p in probe),
+                    str(jnp.dtype(cdtype)), mesh, axis,
+                    hash(np.asarray(queries[0:1]).tobytes()))
+    reused = (query_reuse is not None
+              and query_reuse.get("fp") == reuse_fp)
+    if reused:
+        # the row layout (chip r // q_shard_p, offset r % q_shard_p) is
+        # baked into the stored cache — adopt its padding
+        q_shard_p = query_reuse["q_shard_p"]
+
     def _pad_put(x, per_shard):
         total = per_shard * n_dev
         if isinstance(x, np.ndarray):
@@ -913,7 +976,7 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     # LAST chip's shard carries pad rows and real row r lives on chip
     # r // q_shard_p at local offset r % q_shard_p — global order is
     # preserved when the sharded result is flattened back.
-    q_sh = _pad_put(queries, q_shard_p)
+    q_sh = None if reused else _pad_put(queries, q_shard_p)
     syn_sh = _pad_put(syn, shard_p)
 
     # tiny helper programs, cached like the other ring wrappers (a fresh
@@ -928,7 +991,7 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
                                    jnp.zeros(shape, jnp.int32)),
                     static_argnums=0, out_shardings=(state_sh, state_sh)))
     zeros_sh, init = hcache[hkey]
-    while True:  # one restart per deferred featurize failure
+    while not reused:  # one restart per deferred featurize failure
         bufs = [zeros_sh((q_shard_p * n_dev,) + tuple(p.shape[1:]), cdtype)
                 for p in probe]
         rq = zeros_sh((q_shard_p * n_dev,), jnp.float32)
@@ -1007,10 +1070,20 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
             break
         inflight.clear()
         bufs = rq = None  # noqa: F841
+        if query_reuse:  # held HBM this recovery needs back
+            query_reuse.clear()
         if not _free_fence():
             raise oom_err
         print(f"[knn-ring] deferred query featurize OOM; q_block={q_block} "
               f"(refeaturizing the query cache)")
+    if reused:
+        bufs, rq = query_reuse["bufs"], query_reuse["rq"]
+    elif query_reuse is not None:
+        # drain-verified sharded cache: hold it (and its row layout) for
+        # the next search over the same query set
+        query_reuse.clear()
+        query_reuse.update(fp=reuse_fp, q_shard_p=q_shard_p,
+                           bufs=bufs, rq=rq)
 
     run_d, run_i = init((n_dev, q_shard_p))
     ss = 0

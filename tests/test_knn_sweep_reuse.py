@@ -182,3 +182,240 @@ def test_reuse_dropped_on_chunk_restart():
                                query_reuse=holder)
     d_ref, _ = knn_argmin_streamed(embed, q[:16], s, q_block=8, s_block=16)
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #6: reuse on the mesh drivers and the two-pass paths (the
+# round-4 feature was single-chip single-pass only)
+# ---------------------------------------------------------------------------
+
+import jax
+from jax.sharding import Mesh
+
+import ganleaks_tpu.parallel.knn_shard as ks
+
+
+def _mesh(n=4):
+    return Mesh(np.asarray(jax.devices()[:n]), ("syn",))
+
+
+def _count_mesh_cache_writes(monkeypatch):
+    """knn_shard binds ops.knn._update_rows by name at import — count its
+    own binding."""
+    calls = {"n": 0}
+    orig = ks._update_rows
+
+    def counting(buf, part, offset):
+        calls["n"] += 1
+        return orig(buf, part, offset)
+
+    monkeypatch.setattr(ks, "_update_rows", counting)
+    return calls
+
+
+def test_reuse_mesh_sharded(monkeypatch):
+    q, s = _data(n_q=24, n_s=64)
+    mesh = _mesh()
+    embed = make_embed_fn("l2")
+    d0, i0 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
+                                            q_block=8, s_block=8)
+    calls = _count_mesh_cache_writes(monkeypatch)
+    holder: dict = {}
+    d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh, q_block=8,
+                                            s_block=8, query_reuse=holder)
+    first = calls["n"]
+    assert first > 0 and holder, "first call must featurize and store"
+    d2, i2 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh, q_block=8,
+                                            s_block=8, query_reuse=holder)
+    assert calls["n"] == first, "second call must skip the query featurize"
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_reuse_mesh_different_queries_do_not_reuse(monkeypatch):
+    q, s = _data(n_q=24, n_s=64)
+    mesh = _mesh()
+    embed = make_embed_fn("l2")
+    holder: dict = {}
+    ks.knn_argmin_sharded_streamed(embed, q, s, mesh, q_block=8, s_block=8,
+                                   query_reuse=holder)
+    q_other = q[::-1].copy()
+    calls = _count_mesh_cache_writes(monkeypatch)
+    d, i = ks.knn_argmin_sharded_streamed(embed, q_other, s, mesh,
+                                          q_block=8, s_block=8,
+                                          query_reuse=holder)
+    assert calls["n"] > 0, "swapped queries must refeaturize"
+    d_ref, i_ref = ks.knn_argmin_sharded_streamed(embed, q_other, s, mesh,
+                                                  q_block=8, s_block=8)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_reuse_ring(monkeypatch):
+    q, s = _data(n_q=24, n_s=64)
+    mesh = _mesh()
+    embed = make_embed_fn("l2")
+    d0, i0 = ks.knn_argmin_ring_streamed(embed, q, s, mesh,
+                                         q_block=8, s_block=8)
+    fills = {"n": 0}
+    orig = ks._build_ring_qcache
+
+    def wrap(*a, **k):
+        fn = orig(*a, **k)
+
+        def counted(*aa, **kk):
+            fills["n"] += 1
+            return fn(*aa, **kk)
+        return counted
+
+    monkeypatch.setattr(ks, "_build_ring_qcache", wrap)
+    holder: dict = {}
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh, q_block=8,
+                                         s_block=8, query_reuse=holder)
+    first = fills["n"]
+    assert first > 0 and holder, "first call must fill the sharded cache"
+    d2, i2 = ks.knn_argmin_ring_streamed(embed, q, s, mesh, q_block=8,
+                                         s_block=8, query_reuse=holder)
+    assert fills["n"] == first, "second call must reuse the sharded cache"
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_reuse_two_pass(monkeypatch):
+    from ganleaks_tpu.ops.knn import knn_argmin_two_pass
+
+    q, s = _data()
+    lo = make_embed_fn("l2")
+    hi = make_embed_fn("l2")
+    d0, i0 = knn_argmin_two_pass(lo, hi, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=16)
+    calls = _count_cache_writes(monkeypatch)
+    lo_h: dict = {}
+    hi_h: dict = {}
+    d1, i1 = knn_argmin_two_pass(lo, hi, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=16,
+                                 query_reuse=lo_h, rerank_reuse=hi_h)
+    first = calls["n"]
+    assert first > 0 and lo_h and hi_h, \
+        "first call must featurize and store both caches"
+    d2, i2 = knn_argmin_two_pass(lo, hi, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=16,
+                                 query_reuse=lo_h, rerank_reuse=hi_h)
+    assert calls["n"] == first, \
+        "second call must skip both query featurizes"
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_reuse_two_pass_mesh(monkeypatch):
+    q, s = _data(n_q=24, n_s=64)
+    mesh = _mesh()
+    lo = make_embed_fn("l2")
+    hi = make_embed_fn("l2")
+    d0, i0 = ks.knn_argmin_two_pass_mesh(lo, hi, q, s, mesh,
+                                         q_block=8, s_block=8)
+    mesh_calls = _count_mesh_cache_writes(monkeypatch)
+    chip_calls = _count_cache_writes(monkeypatch)  # the rerank is 1-chip
+    lo_h: dict = {}
+    hi_h: dict = {}
+    d1, i1 = ks.knn_argmin_two_pass_mesh(lo, hi, q, s, mesh, q_block=8,
+                                         s_block=8, query_reuse=lo_h,
+                                         rerank_reuse=hi_h)
+    first_mesh, first_chip = mesh_calls["n"], chip_calls["n"]
+    assert first_mesh > 0 and lo_h and hi_h
+    d2, i2 = ks.knn_argmin_two_pass_mesh(lo, hi, q, s, mesh, q_block=8,
+                                         s_block=8, query_reuse=lo_h,
+                                         rerank_reuse=hi_h)
+    assert mesh_calls["n"] == first_mesh
+    assert chip_calls["n"] == first_chip
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+@pytest.mark.parametrize("variant", ["mesh_sharded", "mesh_ring",
+                                     "two_pass"])
+def test_fbb_sweep_reuse_all_paths(tmp_path, monkeypatch, variant):
+    """The fbb sweep wires reuse on every path: mesh-sharded, ring, and
+    two-pass sweeps produce bit-identical artifacts to standalone runs
+    with strictly fewer query featurize writes."""
+    from dataclasses import replace
+
+    from ganleaks_tpu.attack.fbb import run_attack
+    from ganleaks_tpu.config import AttackConfig
+    from ganleaks_tpu.io.images import save_png
+
+    def dump(dirname, n, seed):
+        r = np.random.default_rng(seed)
+        d = tmp_path / dirname
+        d.mkdir(parents=True)
+        imgs = r.uniform(-1, 1, (n, 8, 8, 3)).astype(np.float32)
+        for k, im in enumerate(imgs):
+            save_png(im, str(d / f"{k:03d}.png"), drange=(-1, 1))
+
+    for j in range(2):
+        dump(f"syn_root/params{j}", 20, seed=10 + j)
+    dump("pos", 6, seed=3)
+    dump("neg", 6, seed=4)
+
+    cfg = AttackConfig(
+        exp_name="sweep", syn_data_path=str(tmp_path / "syn_root"),
+        pos_data_dir=str(tmp_path / "pos"),
+        neg_data_dir=str(tmp_path / "neg"),
+        distance="l2", engine="gemm", resolution=8,
+        hyperparameter_search=True, save_plots=False,
+        save_root=str(tmp_path / "out_sweep"))
+    if variant == "mesh_sharded":
+        cfg = replace(cfg, n_chips=4)
+    elif variant == "mesh_ring":
+        cfg = replace(cfg, n_chips=4, shard_layout="ring")
+    else:
+        cfg = replace(cfg, two_pass=True)
+
+    chip_calls = _count_cache_writes(monkeypatch)
+    mesh_calls = _count_mesh_cache_writes(monkeypatch)
+    ring_fills = {"n": 0}
+    orig_qc = ks._build_ring_qcache
+
+    def wrap(*a, **k):
+        fn = orig_qc(*a, **k)
+
+        def counted(*aa, **kk):
+            ring_fills["n"] += 1
+            return fn(*aa, **kk)
+        return counted
+
+    monkeypatch.setattr(ks, "_build_ring_qcache", wrap)
+
+    results = run_attack(cfg)
+    assert len(results) == 2
+    sweep_writes = (chip_calls["n"], mesh_calls["n"], ring_fills["n"])
+
+    chip_calls["n"] = mesh_calls["n"] = ring_fills["n"] = 0
+    solo = []
+    for j in range(2):
+        solo_cfg = replace(
+            cfg, hyperparameter_search=False,
+            syn_data_path=str(tmp_path / f"syn_root/params{j}"),
+            save_root=str(tmp_path / f"out_solo{j}"))
+        solo.extend(run_attack(solo_cfg))
+    solo_writes = (chip_calls["n"], mesh_calls["n"], ring_fills["n"])
+
+    assert sum(sweep_writes) < sum(solo_writes), (sweep_writes,
+                                                  solo_writes)
+    for r_sweep, r_solo in zip(results, solo):
+        np.testing.assert_array_equal(r_sweep["pos_loss"],
+                                      r_solo["pos_loss"])
+        np.testing.assert_array_equal(r_sweep["neg_loss"],
+                                      r_solo["neg_loss"])
+        np.testing.assert_array_equal(r_sweep["pos_nn_idx"],
+                                      r_solo["pos_nn_idx"])
+        np.testing.assert_array_equal(r_sweep["neg_nn_idx"],
+                                      r_solo["neg_nn_idx"])
