@@ -36,6 +36,59 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
         pass  # older jax without the knobs
 
 
+def harden_cache_writes() -> None:
+    """Fork-isolate persistent compile-cache WRITES.
+
+    jaxlib 0.9.0's cache-write path (``compilation_cache.py
+    put_executable_and_time``: XLA:CPU ``executable.serialize()`` +
+    zstd compress + disk write) segfaulted rc 139 deterministically at
+    ~325/373 of the full test suite — state-dependent (the same test
+    passes in isolation), crash frames inside jaxlib, not repo code.
+    A segfault cannot be caught in-process, so the write runs in a
+    short-lived forked child: a crash there costs ONE cache entry (that
+    module recompiles next run), never the suite. Writes only happen on
+    compile misses, so a warm cache pays zero forks.
+
+    CPU-backend processes only (the test harness): forking a process
+    that holds a live TPU/tunnel client is not safe. The child carries a
+    SIGALRM deadline so a fork-inherited lock can never hang the parent.
+    """
+    import os
+    import signal
+
+    import jax
+    from jax._src import compilation_cache as cc
+
+    if jax.default_backend() != "cpu":
+        return
+    orig = cc.put_executable_and_time
+    if getattr(orig, "_ganleaks_forked", False):
+        return
+
+    def forked_put(cache_key, module_name, executable, backend,
+                   compile_time):
+        pid = os.fork()
+        if pid == 0:
+            code = 1
+            try:
+                signal.alarm(120)  # fork-inherited-lock deadline
+                orig(cache_key, module_name, executable, backend,
+                     compile_time)
+                code = 0
+            except BaseException:
+                pass
+            finally:
+                os._exit(code)
+        else:
+            _, status = os.waitpid(pid, 0)
+            if status != 0:
+                print(f"[cache] forked cache write for {module_name!r} "
+                      f"died (status {status}); entry skipped")
+
+    forked_put._ganleaks_forked = True
+    cc.put_executable_and_time = forked_put
+
+
 def parse_config(cls: Type[T], argv: list[str] | None = None,
                  description: str = "") -> T:
     enable_persistent_compilation_cache()

@@ -25,11 +25,15 @@ jax.config.update("jax_platforms", "cpu")
 # host); one cache-knob implementation lives in cli.common
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from ganleaks_tpu.cli.common import (  # noqa: E402
-    enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache, harden_cache_writes)
 
 enable_persistent_compilation_cache(
     os.path.join(os.path.dirname(__file__), "..", ".pytest_cache",
                  "jax_compilation"))
+# jaxlib 0.9.0's cache-write path segfaulted the full suite at ~325/373
+# (state-dependent, frames inside executable.serialize()+zstd) — writes
+# run fork-isolated so a crash costs one cache entry, not the run
+harden_cache_writes()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -211,3 +211,35 @@ def test_tuple_field_coercion_from_raw_strings():
                            {"mesh_shape": 8}).mesh_shape == (8,)
     assert apply_overrides(DCGANConfig(),
                            {"mesh_shape": [2, 2]}).mesh_shape == (2, 2)
+
+
+def test_forked_cache_write_lands_entries(tmp_path):
+    """harden_cache_writes (conftest wires it) must still land cache
+    entries — the fork isolation exists because jaxlib's write path
+    segfaulted the full suite; losing ALL writes would silently disable
+    the cache the 1-core host depends on."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src import compilation_cache as cc
+
+    from ganleaks_tpu.cli.common import harden_cache_writes
+
+    harden_cache_writes()
+    harden_cache_writes()  # idempotent: no double-wrap
+    assert getattr(cc.put_executable_and_time, "_ganleaks_forked", False)
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+        cc.reset_cache()
+        f = jax.jit(lambda x: jnp.sin(x) * 2.5 + jnp.cos(x) * 0.5)
+        f(jnp.arange(23.0)).block_until_ready()
+        assert any(tmp_path.iterdir()), "forked write landed no entry"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min)
+        cc.reset_cache()

@@ -30,7 +30,7 @@ def gb(x: float) -> str:
 def project(n_q: int, n_syn: int, resolution: int, engine: str,
             dtype: str, store: str, cache_gb: float,
             q_block: int, s_block: int, hbm_gb: float,
-            distance: str = "l2-lpips") -> dict:
+            distance: str = "l2-lpips", lpips_net: str = "vgg") -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,7 +43,8 @@ def project(n_q: int, n_syn: int, resolution: int, engine: str,
     # the SAME featurizer construction the attack driver uses (weight,
     # net, flat-vs-parts wiring) — a local copy would drift silently
     embed = build_embed_fn(
-        AttackConfig(distance=distance, dtype=dtype, engine=engine),
+        AttackConfig(distance=distance, dtype=dtype, engine=engine,
+                     lpips_net=lpips_net),
         structured=structured)
 
     img = jax.ShapeDtypeStruct((1, resolution, resolution, 3),
