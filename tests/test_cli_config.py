@@ -243,3 +243,44 @@ def test_forked_cache_write_lands_entries(tmp_path):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", old_min)
         cc.reset_cache()
+
+
+def test_baseline_measured_section_is_rendered(tmp_path, monkeypatch):
+    """BASELINE.md's measured region is generated from the measurement
+    artifacts (VERDICT r4 weak #2: unfilled %placeholders% shipped as
+    'measured'). Pin: no template placeholders survive in BASELINE.md,
+    and the renderer round-trips real rows into the marked region."""
+    import json
+
+    repo_baseline = open("BASELINE.md").read()
+    assert "%VG_" not in repo_baseline and "%PG_" not in repo_baseline \
+        and "%PRIV" not in repo_baseline
+
+    import tools.render_baseline as rb
+
+    rows = tmp_path / "rows.jsonl"
+    with open(rows, "w") as f:
+        f.write(json.dumps({
+            "config": "medgan_tabular",
+            "scale": {"rows": 10000, "features": 1071, "epochs": 1000,
+                      "batch": 2000, "generated": 10000, "queries": 2000},
+            "stages_s": {"train_1000ep": 491.2, "generate_10000": 9.9,
+                         "tabular_attack": 5.0},
+            "query_pairs_per_sec": 4.03e6, "auroc": 0.5026}) + "\n")
+        # smoke + error rows must be ignored, never rendered
+        f.write(json.dumps({"config": "dcgan_lifecycle", "smoke": True,
+                            "scale": {}, "stages_s": {}}) + "\n")
+        f.write(json.dumps({"config": "wgangp_lpips_alex",
+                            "error": "boom"}) + "\n")
+    md = tmp_path / "B.md"
+    md.write_text(repo_baseline)
+    monkeypatch.setattr(rb, "BASELINE", str(md))
+    monkeypatch.setattr(rb, "RESULTS", str(rows))
+
+    import sys
+    monkeypatch.setattr(sys, "argv", ["render_baseline.py"])
+    rc = rb.main()
+    out = md.read_text()
+    assert "0.5026" in out and "4.03M query-pairs/s" in out
+    assert "not measured" in out  # missing configs are EXPLICIT
+    assert rc == 1  # and the tool reports the gap
