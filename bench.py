@@ -496,6 +496,12 @@ if __name__ == "__main__":
     argv = list(sys.argv)
     default_invocation = len(argv) == 1  # the driver's `python bench.py`
     outage_sleeps = [45, 90, 180, 360, 600, 900]  # s; ~36 min total
+    if os.environ.get("GANLEAKS_BENCH_OUTAGE_SLEEPS") is not None:
+        # drill/test hook: the stale-fallback path must be rehearsable
+        # without a 36-minute wait (docs/PERF.md "bench honesty")
+        outage_sleeps = [
+            int(x) for x in
+            os.environ["GANLEAKS_BENCH_OUTAGE_SLEEPS"].split(",") if x]
     oom_retries_left = 3
     rc = 1
     attempt = 0
