@@ -80,11 +80,15 @@ def evaluate(cfg: EvalConfig, pos_loss: np.ndarray | None = None,
                 f"runs must score the same query sets in the same order")
         n_bad_ref = int((~np.isfinite(pos_ref)).sum()
                         + (~np.isfinite(neg_ref)).sum())
-        if n_bad_ref and not cfg.allow_nonfinite:
-            raise ValueError(
-                f"non-finite reference-model losses ({n_bad_ref} values) in "
-                f"{cfg.reference_load_dir} — the calibration baseline is "
-                f"garbage; refusing to compute a calibrated AUROC.")
+        if n_bad_ref:
+            if not cfg.allow_nonfinite:
+                raise ValueError(
+                    f"non-finite reference-model losses ({n_bad_ref} "
+                    f"values) in {cfg.reference_load_dir} — the "
+                    f"calibration baseline is garbage; refusing to "
+                    f"compute a calibrated AUROC.")
+            # the opt-in contract: garbage is scored but FLAGGED
+            out.update({"degenerate": True, "nonfinite_ref": n_bad_ref})
         pos_cal = pos_loss - pos_ref
         neg_cal = neg_loss - neg_ref
         cal = roc_curve_auc(jnp.asarray(-pos_cal), jnp.asarray(-neg_cal),

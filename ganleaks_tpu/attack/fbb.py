@@ -150,11 +150,14 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
     hyperparameter-search subdirs, ``fbb.py:113-123``) carries the
     sweep-invariant device state between calls: the built embed closures
     (whose per-closure jit caches would otherwise recompile the LPIPS
-    tower per subdir) and — single-chip streamed engines only — the
-    featurized QUERY embedding cache (``ops/knn`` ``query_reuse``),
-    since the query sets do not change across subdirs. The CALLER must
-    pass the same pos/neg arrays every call (run_attack loads them
-    once); the engine double-checks shape + a first-row hash."""
+    tower per subdir) and the featurized QUERY embedding caches
+    (``ops/knn``/``parallel/knn_shard`` ``query_reuse``) — on every
+    path that owns one: single-chip streamed, mesh-sharded, ring
+    (per-chip sharded cache), and both two-pass modes (separate lo /
+    re-rank holders) — since the query sets do not change across
+    subdirs. The CALLER must pass the same pos/neg arrays every call
+    (run_attack loads them once); the engines double-check shape + a
+    first-row hash."""
     logger = logger or MetricsLogger(echo=False)
     if cfg.shard_layout not in ("sharded", "ring"):
         raise ValueError(f"shard_layout must be 'sharded' or 'ring', "
@@ -190,6 +193,12 @@ def attack_arrays(cfg: AttackConfig, syn: np.ndarray, pos: np.ndarray,
         else:
             embed = build_embed_fn(cfg)
         if sweep_cache is not None:
+            # a changed embedding invalidates every held QUERY cache
+            # too: the reuse fingerprints hash the RAW query images,
+            # not the embedding, so caches built under the old weights/
+            # dtype would silently satisfy the fingerprint check
+            for k in ("query_reuse", "query_reuse_lo", "query_reuse_hi"):
+                sweep_cache.pop(k, None)
             sweep_cache["embed_key"] = embed_key
             sweep_cache["embeds"] = (embed, embed_struct,
                                      embed_lo, embed_hi)

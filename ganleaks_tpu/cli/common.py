@@ -67,10 +67,16 @@ def harden_cache_writes() -> None:
 
     def forked_put(cache_key, module_name, executable, backend,
                    compile_time):
+        import time
+
         pid = os.fork()
         if pid == 0:
             code = 1
             try:
+                # the parent may have SIGALRM ignored/no-op'd (a harness
+                # watchdog) — that disposition is inherited across fork
+                # and would defeat the deadline; restore default-kill
+                signal.signal(signal.SIGALRM, signal.SIG_DFL)
                 signal.alarm(120)  # fork-inherited-lock deadline
                 orig(cache_key, module_name, executable, backend,
                      compile_time)
@@ -80,7 +86,23 @@ def harden_cache_writes() -> None:
             finally:
                 os._exit(code)
         else:
-            _, status = os.waitpid(pid, 0)
+            # parent-side deadline too: a child deadlocked on a
+            # fork-inherited lock with a broken SIGALRM must not hang
+            # the suite — poll, then SIGKILL past the child's own budget
+            deadline = time.monotonic() + 150.0
+            while True:
+                done, status = os.waitpid(pid, os.WNOHANG)
+                if done:
+                    break
+                if time.monotonic() > deadline:
+                    try:
+                        os.kill(pid, 9)
+                    except OSError:
+                        pass
+                    os.waitpid(pid, 0)
+                    status = -9
+                    break
+                time.sleep(0.05)
             if status != 0:
                 print(f"[cache] forked cache write for {module_name!r} "
                       f"died (status {status}); entry skipped")

@@ -582,6 +582,12 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
         padded = n_rows + (-n_rows) % q_block
         reused = (query_reuse is not None and qs0 == 0 and end == n_q
                   and query_reuse.get("fp") == reuse_fp)
+        if query_reuse and not reused and qs0 == 0 and end < n_q:
+            # a held cache cannot engage on a multi-chunk schedule
+            # (this call's plan shrank chunk_rows below n_q): drop it
+            # now — otherwise it pins multi-GB HBM for the whole search
+            # while never being read
+            query_reuse.clear()
         if reused:
             # the held cache was verified (drained) when stored; its
             # padding may differ from this call's q_block — adopt it

@@ -423,10 +423,14 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     zeros_rep, init_state, combine = hcache[hkey]
 
     # cross-call reuse fingerprint (ops/knn._stream_search): shapes +
-    # dtypes + the mesh placement + a first-row content hash
+    # dtypes + the mesh placement + a first-row content hash. The
+    # layout tag matters: the ring driver stores an INCOMPATIBLE holder
+    # schema (sharded bufs + q_shard_p) under an otherwise identical
+    # fingerprint, and fbb routes both single-pass layouts through one
+    # sweep_cache holder — a layout flip must refeaturize, not KeyError
     reuse_fp = None
     if query_reuse is not None:
-        reuse_fp = (n_q,
+        reuse_fp = ("mesh-sharded", n_q,
                     tuple((tuple(p.shape[1:]), str(p.dtype))
                           for p in probe),
                     str(jnp.dtype(cdtype)), mesh, axis,
@@ -441,6 +445,11 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         padded = n_rows + (-n_rows) % q_block
         reused = (query_reuse is not None and qs0 == 0 and end == n_q
                   and query_reuse.get("fp") == reuse_fp)
+        if query_reuse and not reused and qs0 == 0 and end < n_q:
+            # cannot engage on a multi-chunk schedule: drop the held
+            # cache instead of pinning its HBM unread (ops/knn has the
+            # same rule)
+            query_reuse.clear()
         if reused:
             # held cache was drain-verified when stored; adopt its padding
             padded = query_reuse["padded"]
@@ -947,10 +956,12 @@ def knn_argmin_ring_streamed(embed_fn, queries, syn, mesh: Mesh, *,
     s_block = min(s_block, shard)
     shard_p = -(-shard // s_block) * s_block
 
-    # cross-call reuse fingerprint (ops/knn._stream_search contract)
+    # cross-call reuse fingerprint (ops/knn._stream_search contract);
+    # the layout tag keeps ring holders from colliding with the
+    # mesh-sharded driver's incompatible schema (see _mesh_stream_search)
     reuse_fp = None
     if query_reuse is not None:
-        reuse_fp = (n_q,
+        reuse_fp = ("ring", n_q,
                     tuple((tuple(p.shape[1:]), str(p.dtype))
                           for p in probe),
                     str(jnp.dtype(cdtype)), mesh, axis,

@@ -308,3 +308,26 @@ def test_round4_emit_refuses_nonfinite_rows(tmp_path, monkeypatch):
     import json
     rows = [json.loads(l) for l in open(tmp_path / "rows.jsonl")]
     assert rows[0]["auc"] == 0.5 and rows[0]["smoke"] is False
+
+
+def test_allow_nonfinite_flags_bad_reference(rng, tmp_path):
+    """Round-5 review: opting in with allow_nonfinite must FLAG a
+    NaN-tainted calibration, not return unlabeled garbage."""
+    import os
+
+    from ganleaks_tpu.attack.eval_roc import evaluate
+    from ganleaks_tpu.config import EvalConfig
+
+    d_main, d_ref = tmp_path / "main", tmp_path / "ref"
+    for d in (d_main, d_ref):
+        os.makedirs(d)
+        np.save(d / "pos_loss.npy", rng.random(30).reshape(-1, 1))
+        np.save(d / "neg_loss.npy", rng.random(30).reshape(-1, 1))
+    ref_pos = np.load(d_ref / "pos_loss.npy")
+    ref_pos[5] = np.nan
+    np.save(d_ref / "pos_loss.npy", ref_pos)
+    out = evaluate(EvalConfig(result_load_dir=str(d_main),
+                              reference_load_dir=str(d_ref),
+                              allow_nonfinite=True))
+    assert out["degenerate"] is True and out["nonfinite_ref"] == 1
+    assert "auc_calibrated" in out

@@ -419,3 +419,60 @@ def test_fbb_sweep_reuse_all_paths(tmp_path, monkeypatch, variant):
                                       r_solo["pos_nn_idx"])
         np.testing.assert_array_equal(r_sweep["neg_nn_idx"],
                                       r_solo["neg_nn_idx"])
+
+
+def test_layout_flip_does_not_collide_holders():
+    """Round-5 review: sharded and ring holders have incompatible
+    schemas; with one shared holder a layout flip must refeaturize (the
+    fingerprints carry a layout tag), never KeyError or reuse the other
+    layout's cache."""
+    q, s = _data(n_q=24, n_s=64)
+    mesh = _mesh()
+    embed = make_embed_fn("l2")
+    holder: dict = {}
+    d0, i0 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh, q_block=8,
+                                            s_block=8, query_reuse=holder)
+    d1, i1 = ks.knn_argmin_ring_streamed(embed, q, s, mesh, q_block=8,
+                                         s_block=8, query_reuse=holder)
+    # and back again (the ring stored its schema into the holder)
+    d2, i2 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh, q_block=8,
+                                            s_block=8, query_reuse=holder)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d2), rtol=1e-6)
+
+
+def test_embed_change_invalidates_query_holders(monkeypatch):
+    """Round-5 review: attack_arrays rebuilds embeds when embed_key
+    changes but the query-cache fingerprints only hash RAW images — the
+    holders must be dropped with the embeds, or stale embeddings are
+    silently reused."""
+    from ganleaks_tpu.attack.fbb import attack_arrays
+    from ganleaks_tpu.config import AttackConfig
+
+    rng = np.random.default_rng(3)
+    syn = rng.uniform(-1, 1, (20, 8, 8, 3)).astype(np.float32)
+    pos = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    neg = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    base = AttackConfig(distance="l2", resolution=8, save_plots=False)
+
+    cache: dict = {}
+    from dataclasses import replace
+    attack_arrays(replace(base, engine="gemm"), syn, pos, neg,
+                  sweep_cache=cache)
+    assert cache.get("query_reuse"), "gemm pass must store a holder"
+    held = dict(cache["query_reuse"])
+
+    out = attack_arrays(replace(base, engine="exact"), syn, pos, neg,
+                        sweep_cache=cache)
+    # the engine flip changed embed_key: the old holder must have been
+    # DROPPED and the cache refilled by a fresh featurize (the raw-image
+    # fingerprint alone cannot distinguish the embeddings)
+    assert cache["embed_key"][0] == "exact"
+    fresh = cache.get("query_reuse", {})
+    assert not fresh or fresh["bufs"][0] is not held["bufs"][0]
+
+    solo = attack_arrays(replace(base, engine="exact"), syn, pos, neg)
+    np.testing.assert_array_equal(out["pos_nn_idx"], solo["pos_nn_idx"])
+    np.testing.assert_array_equal(out["pos_loss"], solo["pos_loss"])

@@ -118,6 +118,7 @@ def render(rows: dict[str, dict]) -> tuple[str, list[str]]:
     if r:
         s = r["scale"]
         pps = r.get("query_pairs_per_sec")
+        pps_txt = f"{pps / 1e6:.2f}M" if pps else "?"
         out.append(
             f"| 4 | medGAN tabular at reference scale "
             f"({s['rows'] // 1000}k×{s['features']:,} binary rows, "
@@ -125,7 +126,7 @@ def render(rows: dict[str, dict]) -> tuple[str, list[str]]:
             f"tabular fbb) | train {_stage(r, 'train')}, generate "
             f"{_stage(r, 'generate')}, attack "
             f"{_stage(r, 'tabular_attack')} | {r['auroc']:.4f} | attack "
-            f"{pps / 1e6:.2f}M query-pairs/s on (N,D) rows |")
+            f"{pps_txt} query-pairs/s on (N,D) rows |")
     else:
         out.append("| 4 | medGAN | **not measured — no jsonl row** "
                    "| — | |")
