@@ -354,7 +354,7 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
                       feat_rows: int | None = None,
                       act_itemsize: int = 2,
                       hbm_bytes: int | None = None
-                      ) -> tuple[int, int]:
+                      ) -> tuple[int, int, int]:
     """Projection-driven (cache_bytes, s_block) adjustment for the
     streamed search. Uses the same static accounting as
     ``tools/hbm_projection.py`` (which imports this planner's arithmetic
@@ -391,12 +391,12 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     padding and the cache floor, which ARE global (the cache is
     replicated)."""
     if env_flag("GANLEAKS_NO_AUTO_PLAN"):
-        return cache_bytes, s_block
+        return cache_bytes, s_block, q_block
     # hbm_bytes: explicit target capacity — tools/hbm_projection.py runs
     # THIS planner off-device so the projection cannot drift from it
     hbm = hbm_bytes if hbm_bytes is not None else _device_hbm_bytes()
     if hbm is None:
-        return cache_bytes, s_block
+        return cache_bytes, s_block, q_block
     if queries.ndim == 4:
         # images: widest VGG activation x2 overlap, at the tower's
         # element size (act_itemsize: 2 for the bf16 production tower —
@@ -419,9 +419,9 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     # one extra in-flight block
     stream_blocks = 2 if row_bytes <= (1 << 20) else 3
 
-    def overhead(sb: int) -> int:
+    def overhead(sb: int, fr: int) -> int:
         return (stream_blocks * sb * row_bytes
-                + max(feat_rows, sb) * act_per_row)
+                + max(fr, sb) * act_per_row)
 
     n_q = queries.shape[0]
     padded = n_q + (-n_q) % q_block
@@ -437,7 +437,7 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     need_one = padded * row_bytes  # cache holding EVERY query row
     sb = s_block
     while True:
-        if need_one + overhead(sb) <= budget:
+        if need_one + overhead(sb, feat_rows) <= budget:
             if need_one > cache_bytes or sb != s_block:
                 print(f"[knn] auto plan: one-sweep schedule fits — query "
                       f"cache {need_one / 2**30:.2f} GiB "
@@ -447,7 +447,7 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
             # the cache allocation is bounded by the actual padded row
             # count, so raising the budget to need_one allocates exactly
             # the one-sweep cache and nothing more
-            return max(cache_bytes, need_one), sb
+            return max(cache_bytes, need_one), sb, q_block
         if sb // 2 < 512:
             break
         sb //= 2
@@ -455,20 +455,39 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
     # shrinking s_block first (an extra chunk costs a whole synthetic
     # tower sweep; a smaller stream block costs almost nothing)
     sb = s_block
-    while cache_bytes > budget - overhead(sb) and sb // 2 >= 512:
+    while cache_bytes > budget - overhead(sb, feat_rows) and sb // 2 >= 512:
         sb //= 2
-    cap = budget - overhead(sb)
-    if cache_bytes > cap:
-        cap = max(q_block * row_bytes, cap)
+    cap = budget - overhead(sb, feat_rows)
+    qb, fr = q_block, feat_rows
+    if cap < qb * row_bytes:
+        # wide-row regime (256px+ towers): ONE q_block cache chunk plus
+        # its featurize activations exceed the budget at the
+        # 64px-calibrated block floors above. Returning the unreachable
+        # floor as a "cap" guaranteed an unrecoverable alloc OOM
+        # (pggan_highres 256px, 2026-08-20) — shrink the BLOCKS until
+        # one chunk + its tower activations fit (floor 64 rows each);
+        # the engines' OOM resume stays the backstop past the floors.
+        while cap < qb * row_bytes and (qb > 64 or sb > 64):
+            if sb >= qb and sb > 64:
+                sb //= 2
+            elif qb > 64:
+                qb //= 2
+                fr = max(1, feat_rows * qb // q_block)
+            else:
+                break
+            cap = budget - overhead(sb, fr)
+    if cache_bytes > cap or qb != q_block:
+        cap = max(qb * row_bytes, min(cap, cache_bytes))
         print(f"[knn] auto plan: requested cache "
               f"{cache_bytes / 2**30:.2f} GiB cannot fit next to the "
               f"stream; capping at {cap / 2**30:.2f} GiB, "
-              f"s_block {s_block} -> {sb} (more synthetic sweeps)")
-        return cap, sb
+              f"s_block {s_block} -> {sb}, q_block {q_block} -> {qb} "
+              f"(more synthetic sweeps)")
+        return cap, sb, qb
     if sb != s_block:
         print(f"[knn] auto plan: s_block {s_block} -> {sb} so the "
               f"{cache_bytes / 2**30:.2f} GiB query cache fits")
-    return cache_bytes, sb
+    return cache_bytes, sb, qb
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -551,7 +570,7 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
     # static HBM plan (no-op when capacity is unknown or
     # GANLEAKS_NO_AUTO_PLAN=1): upgrade to a one-sweep schedule when it
     # fits, cap over-ambitious caches before they OOM at allocation
-    query_cache_bytes, s_block = _auto_stream_plan(
+    query_cache_bytes, s_block, q_block = _auto_stream_plan(
         queries, syn, row_bytes, q_block=q_block, s_block=s_block,
         cache_bytes=query_cache_bytes,
         act_itemsize=max(2, jnp.dtype(probe[0].dtype).itemsize))
@@ -610,10 +629,20 @@ def _stream_search(block_norms, probe, queries: Array, syn: Array, *,
                 # more chunks, not kill the run (an 11 GB cache request
                 # on a 16 GB chip OOMs at allocation, where no other
                 # resume path can help)
-                if not _is_oom(e) or chunk_rows <= q_block:
+                if not _is_oom(e):
                     raise
-                chunk_rows = max(q_block,
-                                 (chunk_rows // 2) // q_block * q_block)
+                if chunk_rows > q_block:
+                    chunk_rows = max(q_block,
+                                     (chunk_rows // 2) // q_block
+                                     * q_block)
+                elif q_block > 1:
+                    # ONE q_block of cache rows itself overflows (wide
+                    # rows at high resolution): the block must shrink,
+                    # not just the chunk (pggan 256px, 2026-08-20)
+                    q_block = max(1, q_block // 2)
+                    chunk_rows = q_block
+                else:
+                    raise
                 # drop device references a failed prior attempt left in
                 # this frame's locals — when the OOM surfaced at
                 # block_until_ready rather than inside the comprehension,

@@ -375,7 +375,7 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
     # chip for the whole search and must be charged too (host-backed
     # sets — numpy / HostImageSet — ship one block at a time, already
     # covered by the q_block share)
-    query_cache_bytes, s_block = _auto_stream_plan(
+    query_cache_bytes, s_block, qb_planned = _auto_stream_plan(
         queries, syn, row_bytes, q_block=q_block, s_block=s_block,
         cache_bytes=query_cache_bytes,
         resident_bytes=(syn_flat.nbytes // n_dev
@@ -384,6 +384,9 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                            if isinstance(queries, jax.Array) else 0)),
         feat_rows=q_block // n_dev,
         act_itemsize=max(2, jnp.dtype(probe[0].dtype).itemsize))
+    if qb_planned != q_block:
+        # featurize blocks must still split n_dev ways
+        q_block = max(n_dev, -(-qb_planned // n_dev) * n_dev)
     chunk_rows = max(q_block,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)
@@ -461,14 +464,25 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 rq = zeros_rep((padded,), jnp.float32)
                 jax.block_until_ready(rq)  # surface alloc failures HERE
             except Exception as e:
-                if not _is_oom(e) or chunk_rows <= q_block:
+                if not _is_oom(e):
                     raise
-                chunk_rows = max(q_block,
-                                 (chunk_rows // 2) // q_block * q_block)
+                if chunk_rows > q_block:
+                    chunk_rows = max(q_block,
+                                     (chunk_rows // 2) // q_block
+                                     * q_block)
+                elif q_block > n_dev:
+                    # one q_block of cache rows itself overflows (wide
+                    # rows): shrink the block, keeping it n_dev-aligned
+                    q_block = max(n_dev,
+                                  -(-(q_block // 2) // n_dev) * n_dev)
+                    chunk_rows = q_block
+                else:
+                    raise
                 if query_reuse:  # held HBM this recovery needs back
                     query_reuse.clear()
                 print(f"[knn-mesh] query cache allocation OOM; "
-                      f"chunk_rows={chunk_rows} (more synthetic sweeps)")
+                      f"chunk_rows={chunk_rows}, q_block={q_block} "
+                      f"(more synthetic sweeps)")
                 continue
         qs = end if reused else qs0
         inflight: deque = deque()  # backpressure window (ops/knn docstring)

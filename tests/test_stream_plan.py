@@ -37,7 +37,7 @@ def test_north_star_upgrades_to_one_sweep(v5e):
     """8 GiB requested (two sweeps) -> one-sweep cache at a shrunk
     s_block, reproducing the measured 204M pairs/s configuration."""
     q, s = north_star_arrays()
-    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+    cache, sb, _ = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
                                   cache_bytes=8 * GIB)
     assert cache >= 20480 * ROW, "cache holds every padded query row"
     assert sb == 1024, "s_block shrunk so the one-sweep cache fits"
@@ -47,7 +47,7 @@ def test_north_star_rejects_the_measured_oom_config(v5e):
     """The one-sweep cache + s_block=2048 stream measured OOM on chip;
     the planner must not pick that combination."""
     q, s = north_star_arrays()
-    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+    cache, sb, _ = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
                                   cache_bytes=10 * GIB)
     assert not (cache >= 20480 * ROW and sb == 2048)
 
@@ -56,7 +56,7 @@ def test_driver_default_syn_block_8192_reaches_one_sweep(v5e):
     """AttackConfig's syn_block default is 8192; the halving walk must
     reach the fitting 1024, not stop early and strand the cache."""
     q, s = north_star_arrays()
-    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=8192,
+    cache, sb, _ = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=8192,
                                   cache_bytes=8 * GIB)
     assert cache >= 20480 * ROW and sb == 1024
 
@@ -66,7 +66,7 @@ def test_small_config_unchanged(v5e):
     must not perturb it (same cache budget, same s_block)."""
     q = np.zeros((2000, 64, 64, 3), np.uint8)
     s = np.zeros((20000, 64, 64, 3), np.uint8)
-    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+    cache, sb, _ = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
                                   cache_bytes=8 * GIB)
     assert (cache, sb) == (8 * GIB, 2048)
 
@@ -74,7 +74,7 @@ def test_small_config_unchanged(v5e):
 def test_unknown_hbm_is_inert(monkeypatch):
     monkeypatch.setattr(knn_mod, "_device_hbm_bytes", lambda: None)
     q, s = north_star_arrays()
-    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+    cache, sb, _ = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
                                   cache_bytes=8 * GIB)
     assert (cache, sb) == (8 * GIB, 2048)
 
@@ -82,7 +82,7 @@ def test_unknown_hbm_is_inert(monkeypatch):
 def test_env_killswitch(v5e, monkeypatch):
     monkeypatch.setenv("GANLEAKS_NO_AUTO_PLAN", "1")
     q, s = north_star_arrays()
-    cache, sb = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
+    cache, sb, _ = _auto_stream_plan(q, s, ROW, q_block=2048, s_block=2048,
                                   cache_bytes=8 * GIB)
     assert (cache, sb) == (8 * GIB, 2048)
 
@@ -95,10 +95,13 @@ def test_overambitious_cache_capped_before_allocation(v5e):
     q, s = north_star_arrays()
     # huge rows so one sweep is unreachable: 20480 rows x 4 MiB = 80 GiB
     big_row = 4 * (1 << 20)
-    cache, sb = _auto_stream_plan(q, s, big_row, q_block=2048,
-                                  s_block=2048, cache_bytes=14 * GIB)
+    cache, sb, qb = _auto_stream_plan(q, s, big_row, q_block=2048,
+                                      s_block=2048, cache_bytes=14 * GIB)
     assert cache < 14 * GIB
-    assert cache >= 2048 * big_row, "floor: one q_block of rows"
+    # floor: one chunk at the PLANNED q_block — the planner may shrink
+    # the block itself when 2048 wide rows cannot fit (round-5 fix; the
+    # old contract returned a floor bigger than the budget)
+    assert cache >= qb * big_row, "floor: one planned-q_block of rows"
 
 
 def test_cpu_backend_reports_unknown_hbm():
@@ -120,7 +123,7 @@ def test_wide_f32_rows_charge_extra_stream_block(v5e):
     # budget ~14.5 GiB; need_one = 2048 * 2 MiB = 4 GiB, act = 2 GiB.
     # 2 blocks @ sb=2048: 4+2+8 = 14.0 <= budget (old model accepted);
     # 3 blocks: 4+2+12 = 18 > budget -> must walk sb down
-    cache, sb = _auto_stream_plan(q, s, row_f32, q_block=2048,
+    cache, sb, _ = _auto_stream_plan(q, s, row_f32, q_block=2048,
                                   s_block=2048, cache_bytes=4 * GIB)
     assert sb < 2048, "wide rows must not keep the 2-block-optimistic sb"
 
@@ -177,3 +180,27 @@ def test_resident_override_models_per_chip_budget(v5e):
                               resident_bytes=s.nbytes // 8 + 2048 * 12288)
     assert full[0] < 20480 * ROW, "4x-synthetic residency: no one-sweep"
     assert shard[0] >= 20480 * ROW, "per-shard residency: one sweep fits"
+
+
+def test_wide_row_256px_shrinks_blocks_to_fit(v5e):
+    """Round-5 chip failure: at 256px (row ~8 MiB, tower activations
+    ~16.8 MiB/row) ONE 2048-row chunk + its featurize block exceed the
+    whole chip, and the old planner returned the unreachable q_block
+    floor as the 'cap' — guaranteeing an unrecoverable alloc OOM. The
+    planner must shrink the BLOCKS (q_block included) until one chunk
+    plus its activations actually fit the budget."""
+    import jax.numpy as jnp
+
+    row_256 = 8 << 20
+    q = jnp.zeros((2048, 256, 256, 3), jnp.uint8)
+    s = jnp.zeros((4096, 256, 256, 3), jnp.uint8)
+    cache, sb, qb = _auto_stream_plan(q, s, row_256, q_block=2048,
+                                      s_block=4096, cache_bytes=8 * GIB)
+    assert qb < 2048, "q_block must shrink in the wide-row regime"
+    assert cache >= qb * row_256, "cap below one chunk is unallocatable"
+    # the returned plan actually fits: one chunk + 3 in-flight stream
+    # blocks + the per-block tower activations inside 92% of HBM
+    act = 256 * 256 * 64 * 2 * 2
+    budget = int(16 * GIB * 0.92) - int(q.nbytes + s.nbytes) \
+        - (2048 + (-2048) % qb) * 8
+    assert cache + 3 * sb * row_256 + max(qb, sb) * act <= budget

@@ -90,7 +90,7 @@ def project(n_q: int, n_syn: int, resolution: int, engine: str,
     s_stub = _Stub((n_syn, resolution, resolution, 3), img_bytes)
     act_itemsize = max(2, jnp.dtype(probe[0].dtype).itemsize)
     hbm = int(hbm_gb * (1 << 30))
-    cache_bytes, sb = _auto_stream_plan(
+    cache_bytes, sb, q_block = _auto_stream_plan(
         q_stub, s_stub, row, q_block=q_block, s_block=s_block,
         cache_bytes=int(cache_gb * (1 << 30)), resident_bytes=images,
         act_itemsize=act_itemsize, hbm_bytes=hbm)
