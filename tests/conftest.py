@@ -42,3 +42,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng() -> np.random.Generator:
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _mapcount_log(request):
+    """Opt-in per-test memory-map census (GANLEAKS_MAPCOUNT_LOG=path):
+    diagnostic for the late-suite XLA compile segfault — a process
+    nearing vm.max_map_count (65530) can SIGSEGV inside mmap-heavy
+    operations like a large compile instead of erroring cleanly."""
+    yield
+    path = os.environ.get("GANLEAKS_MAPCOUNT_LOG")
+    if path:
+        try:
+            with open("/proc/self/maps") as m:
+                n = sum(1 for _ in m)
+            with open(path, "a") as f:
+                f.write(f"{n}\t{request.node.nodeid}\n")
+        except OSError:
+            pass
