@@ -465,8 +465,22 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
         # 64px-calibrated block floors above. Returning the unreachable
         # floor as a "cap" guaranteed an unrecoverable alloc OOM
         # (pggan_highres 256px, 2026-08-20) — shrink the BLOCKS until
-        # one chunk + its tower activations fit (floor 64 rows each);
-        # the engines' OOM resume stays the backstop past the floors.
+        # one chunk + its tower activations fit (floor 64 rows each).
+        # Two wide-regime-only model corrections (the calibrated 64px
+        # model absorbs both in its slack): (a) the QUERY featurize
+        # phase keeps its own in-flight parts windows of qb*row bytes —
+        # at 16 MB rows that term dominates and the sweep-only stream
+        # charge under-counted it (second 256px OOM, same day);
+        # (b) an extra 1/6 budget reserve, because an OOM on the
+        # tunneled backend leaves the runtime sticky — resume is futile,
+        # so the plan must simply never OOM.
+        wide_budget = budget - budget // 6
+
+        def overhead_wide(sb_, fr_, qb_):
+            return (stream_blocks * max(sb_, qb_) * row_bytes
+                    + max(fr_, sb_) * act_per_row)
+
+        cap = wide_budget - overhead_wide(sb, fr, qb)
         while cap < qb * row_bytes and (qb > 64 or sb > 64):
             if sb >= qb and sb > 64:
                 sb //= 2
@@ -475,7 +489,7 @@ def _auto_stream_plan(queries: Array, syn: Array, row_bytes: int, *,
                 fr = max(1, feat_rows * qb // q_block)
             else:
                 break
-            cap = budget - overhead(sb, fr)
+            cap = wide_budget - overhead_wide(sb, fr, qb)
     if cache_bytes > cap or qb != q_block:
         cap = max(qb * row_bytes, min(cap, cache_bytes))
         print(f"[knn] auto plan: requested cache "
