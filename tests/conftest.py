@@ -44,19 +44,45 @@ def rng() -> np.random.Generator:
     return np.random.default_rng(0)
 
 
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as m:
+            return sum(1 for _ in m)
+    except OSError:
+        return 0
+
+
+# Root cause of the historical full-suite SIGSEGV at ~325/373 (always at
+# the next BIG XLA compile, test_privgan.py:52; same test green in
+# isolation): the process accumulates memory mappings — one per compiled
+# executable's code pages plus allocator arenas — at ~150/test, crossing
+# ~55k by the privgan file. vm.max_map_count is 65530, and the huge
+# vmapped-stack compile spikes thousands of transient mappings: mmap
+# starts failing mid-compile and XLA:CPU segfaults instead of erroring.
+# Mitigation: when map pressure nears the cliff, drop jax's in-process
+# executable caches (the persistent disk cache makes recompiles cheap).
+_MAP_PRESSURE_LIMIT = 45_000
+
+
 @pytest.fixture(autouse=True)
 def _mapcount_log(request):
-    """Opt-in per-test memory-map census (GANLEAKS_MAPCOUNT_LOG=path):
-    diagnostic for the late-suite XLA compile segfault — a process
-    nearing vm.max_map_count (65530) can SIGSEGV inside mmap-heavy
-    operations like a large compile instead of erroring cleanly."""
+    """Per-test memory-map census (log via GANLEAKS_MAPCOUNT_LOG=path)
+    + the map-pressure release valve described above."""
     yield
+    n = _map_count()
     path = os.environ.get("GANLEAKS_MAPCOUNT_LOG")
     if path:
         try:
-            with open("/proc/self/maps") as m:
-                n = sum(1 for _ in m)
             with open(path, "a") as f:
                 f.write(f"{n}\t{request.node.nodeid}\n")
         except OSError:
             pass
+    if n > _MAP_PRESSURE_LIMIT:
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+        print(f"\n[conftest] map pressure {n} > {_MAP_PRESSURE_LIMIT}: "
+              f"cleared jax caches -> {_map_count()} maps")
