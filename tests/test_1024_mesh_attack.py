@@ -147,4 +147,8 @@ def test_1024px_single_chip_infeasible_northstar():
                 engine="taps-int8", dtype="bfloat16", store="uint8",
                 cache_gb=8.0, q_block=2048, s_block=2048, hbm_gb=16.0)
     assert not p["fits"]
-    assert p["total"] > (1 << 40), f"expected TiB-scale, got {p['total']}"
+    # ~0.4 TiB even after the round-5 planner shrinks the blocks to
+    # their floors (the historical 1.7 TiB figure assumed 2048-row
+    # blocks) — still ~25x the chip
+    assert p["total"] > 20 * p["hbm"], \
+        f"expected many-HBM-scale, got {p['total']}"

@@ -509,7 +509,8 @@ def test_mesh_planner_nondivisor_s_block_exact(rng, mesh, monkeypatch):
     d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
                                  q_block=8, s_block=8)
     monkeypatch.setattr(ks, "_auto_stream_plan",
-                        lambda *a, **kw: (kw["cache_bytes"], 3))
+                        lambda *a, **kw: (kw["cache_bytes"], 3,
+                                          kw["q_block"]))
     d1, i1 = ks.knn_argmin_sharded_streamed(embed, q, s, mesh,
                                             q_block=8, s_block=5)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
