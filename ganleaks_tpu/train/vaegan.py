@@ -73,13 +73,39 @@ def _apply_mut(ms: ModelState, *args, **kwargs):
     return out, new
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def bce(probs: Array, target: float) -> Array:
-    """torch BCELoss on probabilities, log clamped at -100."""
+    """torch BCELoss on probabilities — BOTH halves of its semantics.
+
+    Forward: log clamped at -100 (torch's value clamp). Backward:
+    ``(p - t) / max(p*(1-p), 1e-12) / N`` — torch clamps the DENOMINATOR
+    at 1e-12 (``binary_cross_entropy_backward``), so a fully saturated
+    sigmoid (p == 0.0 exactly, reachable in f32 at logits < -104) yields
+    a large-but-FINITE ~1e12/N gradient. Without that clamp the naive
+    autodiff grad is -1/p = inf and one saturated Dl output poisons
+    every upstream parameter: that was THIS port's VAE-GAN "divergence"
+    — the reference's own torch run on the identical fixture trains
+    finitely through the same saturation (tools/vaegan_ab_reference.py;
+    DIVERGENCES.md "VAE-GAN stability A/B")."""
     p = jnp.clip(probs, 1e-44, 1.0)
     q = jnp.clip(1.0 - probs, 1e-44, 1.0)
     t = jnp.full_like(probs, target)
     return -jnp.mean(t * jnp.maximum(jnp.log(p), -100.0)
                      + (1 - t) * jnp.maximum(jnp.log(q), -100.0))
+
+
+def _bce_fwd(probs: Array, target: float):
+    return bce(probs, target), probs
+
+
+def _bce_bwd(target: float, probs: Array, g: Array):
+    # torch binary_cross_entropy_backward: (p - t) / max(p(1-p), 1e-12),
+    # scaled by 1/N for the mean reduction
+    denom = jnp.maximum(probs * (1.0 - probs), 1e-12)
+    return (g * (probs - target) / denom / probs.size,)
+
+
+bce.defvjp(_bce_fwd, _bce_bwd)
 
 
 @partial(jax.jit, donate_argnums=0)

@@ -250,3 +250,30 @@ def test_batchnorm_running_stats_match_torch_train_mode(rng):
     np.testing.assert_allclose(np.asarray(ours),
                                t_eval.permute(0, 2, 3, 1).numpy(),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_vaegan_bce_backward_matches_torch_at_saturation():
+    """torch BCELoss clamps its backward DENOMINATOR at 1e-12
+    (binary_cross_entropy_backward), so a fully saturated sigmoid
+    (p == 0.0 in f32) yields a finite ~1e12/N gradient. The port's bce
+    once lacked this and one saturated Dl output turned the whole
+    VAE-GAN non-finite in 4 steps (round-5 A/B: the reference's own
+    torch run trains through the identical saturation). Oracle values
+    recorded from torch 2.13 BCELoss on this exact input."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganleaks_tpu.train.vaegan import bce
+
+    p = jnp.asarray([0.0, 1e-30, 0.5], jnp.float32)
+    val, grad = jax.value_and_grad(lambda x: bce(x, 1.0))(p)
+    np.testing.assert_allclose(float(val), 56.59022903442383, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grad),
+        [-333333331968.0, -333333331968.0, -0.6666666865348816],
+        rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    val0, grad0 = jax.value_and_grad(lambda x: bce(x, 0.0))(
+        jnp.asarray([1.0, 0.5], jnp.float32))
+    np.testing.assert_allclose(np.asarray(grad0), [5e11, 1.0], rtol=1e-6)
