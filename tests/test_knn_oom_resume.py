@@ -429,3 +429,40 @@ def test_final_drain_catches_trailing_deferred_oom(eager_knn, monkeypatch,
     assert "deferred synthetic stream OOM" in capsys.readouterr().out
     np.testing.assert_array_equal(np.asarray(i), ref_i)
     np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-6)
+
+
+def test_cache_alloc_oom_shrinks_q_block_when_chunk_at_floor(eager_knn,
+                                                             monkeypatch):
+    """Round-5 256px failure: when ONE q_block of cache rows itself
+    overflows (wide rows), the alloc-OOM handler used to re-raise
+    (chunk_rows == q_block had no resume). It must now halve q_block
+    itself and continue, with results equal to the clean run."""
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((16, 8)).astype(np.float32)
+    s = rng.standard_normal((40, 8)).astype(np.float32)
+    embed = make_embed_fn("l2")
+    d0, i0 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8)
+
+    row = 128 * 4  # f32 row, minor axis lane-padded 8 -> 128
+    fails = {"n": 2}
+    orig_zeros = knn_mod.jnp.zeros
+
+    def failing_zeros(shape, *a, **kw):
+        if (fails["n"] and isinstance(shape, tuple) and shape
+                and isinstance(shape[0], int) and shape[0] >= 8
+                and len(shape) == 2):
+            fails["n"] -= 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected alloc OOM")
+        return orig_zeros(shape, *a, **kw)
+
+    monkeypatch.setattr(knn_mod.jnp, "zeros", failing_zeros)
+    # cache sized to exactly one 16-row chunk: fail #1 halves chunk_rows
+    # to q_block (8), fail #2 hits the chunk==q_block floor -> q_block
+    # halves to 4 and the search completes
+    d1, i1 = knn_argmin_streamed(embed, jnp.asarray(q), jnp.asarray(s),
+                                 q_block=8, s_block=8,
+                                 query_cache_bytes=16 * row)
+    assert fails["n"] == 0, "both injected failures must have fired"
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-6)
