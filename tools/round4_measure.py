@@ -287,9 +287,15 @@ def run_vaegan(workdir: str) -> None:
         recon_auc = float(evaluate(EvalConfig(
             result_load_dir=rout["save_dir"]))["auc"])
 
-        ev = attack_and_eval(workdir, "vaegan_fbb", out_dir, pos, neg, st,
-                             distance="l2-lpips", resolution=res,
-                             data_num=n_m)
+        # point the attack at the NPZ dump EXPLICITLY: out_dir also holds
+        # the 10x10 samples.png grid, and the format resolver probes
+        # images first by design (io/npz.resolve_input_format) — passing
+        # the dir attacked ONE grid image (n_syn=1) while labeling the
+        # row 20,000 samples (rounds 4 and the first round-5 rerun)
+        ev = attack_and_eval(workdir, "vaegan_fbb",
+                             os.path.join(out_dir, "generated.npz"),
+                             pos, neg, st, distance="l2-lpips",
+                             resolution=res, data_num=n_m)
     finally:
         os.chdir(cwd)
     emit({"config": "vaegan_recon_plus_fbb", "scale":
