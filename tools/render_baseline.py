@@ -106,10 +106,11 @@ def render(rows: dict[str, dict]) -> tuple[str, list[str]]:
             f"reconstruction + fbb | train {_stage(r, 'train')}, sample "
             f"{_stage(r, 'sample')}, recon {_stage(r, 'recon_attack')}, "
             f"fbb {_stage(r, 'attack')} | recon {r['auroc_recon']:.4f} "
-            f"/ fbb {r['auroc_fbb']:.4f} | ≥~15 epochs on this fixture "
-            f"goes non-finite and the eval now REFUSES to score it "
-            f"(`attack/eval_roc.py` guard); the A/B adjudication of that "
-            f"divergence is in DIVERGENCES.md |")
+            f"/ fbb {r['auroc_fbb']:.4f} | near-1 AUROCs are the real "
+            f"membership signal of a 2,000-member victim memorizing its "
+            f"training set; the earlier 'VAE-GAN instability' was a "
+            f"port bug (bce backward clamp), A/B-adjudicated and fixed "
+            f"— DIVERGENCES.md 'VAE-GAN stability A/B' |")
     else:
         out.append("| 3 | VAE-GAN | **not measured — no jsonl row** "
                    "| — | |")
