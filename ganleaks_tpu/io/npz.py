@@ -213,6 +213,26 @@ def _dir_has_image(path: str) -> bool:
     return False
 
 
+def _images_are_only_preview_grid(path: str) -> bool:
+    """True iff the ONLY image under ``path`` is ``samples.png`` next to
+    a ``generated.npz`` — the reference VAE-GAN sampler's exact layout
+    (``gan_models/vaegan/sample.py:53-59``: a 10x10 preview grid beside
+    the real 20k-sample array dump). Treating that grid as the synthetic
+    set silently attacks ONE image while the run claims thousands
+    (observed: rounds 4-5 measurement rows with n_syn=1)."""
+    imgs = []
+    has_gen_npz = False
+    for _d, _s, flist in os.walk(path):
+        for fn in flist:
+            if fn.lower().endswith((".png", ".jpg", ".jpeg")):
+                imgs.append(fn)
+                if len(imgs) > 1:
+                    return False
+            elif fn == "generated.npz":
+                has_gen_npz = True
+    return has_gen_npz and imgs == ["samples.png"]
+
+
 def resolve_input_format(path: str, fmt: str = "auto") -> str:
     """'png' | 'npz' for one image-set path. 'auto' picks npz only when
     the path is an ``.npz`` file or a dir with npz content and NO image
@@ -228,6 +248,15 @@ def resolve_input_format(path: str, fmt: str = "auto") -> str:
     if os.path.isfile(path):
         return "npz" if path.endswith(".npz") else "png"
     if _dir_has_image(path):
+        if _images_are_only_preview_grid(path):
+            return "npz"  # reference sampler layout: the png is a grid
+        if find_npz_files(path):
+            # ambiguous dir: images win by the documented rule, but say
+            # so — a preview image beside an array dump has silently
+            # turned a 20k-sample attack into a 1-image attack before
+            print(f"[io] {path!r} holds BOTH images and .npz files; "
+                  f"attacking the IMAGES (input_format='npz' or an "
+                  f"explicit .npz path selects the arrays)")
         return "png"
     if find_npz_files(path):
         return "npz"

@@ -270,3 +270,32 @@ def test_image_dir_with_stats_npz_stays_png(tmp_path, rng):
     d2.mkdir()
     np.savez(d2 / "x.npz", fake=np.zeros((1, 3, 4, 4), np.float32))
     assert resolve_input_format(str(d2)) == "npz"
+
+
+def test_vaegan_sample_dir_resolves_to_npz(tmp_path):
+    """The reference VAE-GAN sampler writes a samples.png preview grid
+    NEXT TO generated.npz (sample.py:53-59); resolving that dir to the
+    image path silently attacked ONE grid image while the row claimed
+    20,000 samples (rounds 4-5). The exact layout now resolves to npz;
+    any other image+npz mix keeps the documented images-first rule."""
+    from ganleaks_tpu.io.images import save_png
+    from ganleaks_tpu.io.npz import resolve_input_format
+
+    d = tmp_path / "vaegan_samples"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    np.savez(d / "generated.npz",
+             noise=rng.normal(size=(8, 4)).astype(np.float32),
+             img_r01=rng.uniform(size=(8, 8, 8, 3)).astype(np.float32))
+    save_png(rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32),
+             str(d / "samples.png"), drange=(-1, 1))
+    assert resolve_input_format(str(d)) == "npz"
+
+    # a real image DIR with a stats npz stays on the image path
+    d2 = tmp_path / "png_dir"
+    d2.mkdir()
+    for i in range(3):
+        save_png(rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32),
+                 str(d2 / f"im{i}.png"), drange=(-1, 1))
+    np.savez(d2 / "stats.npz", mu=np.zeros(3))
+    assert resolve_input_format(str(d2)) == "png"
