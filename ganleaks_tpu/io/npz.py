@@ -202,35 +202,26 @@ def load_npz_images(path: str, resolution: int | None = 64,
     return out[:limit] if limit is not None else out
 
 
-def _dir_has_image(path: str) -> bool:
-    """Does any png/jpg live under ``path``? First-match walk — returns
-    on the first image filename instead of building the full 120k-entry
-    sorted listing the loader will build anyway."""
+def _scan_for_resolution(path: str) -> tuple[list[str], list[str]]:
+    """ONE walk answering every auto-resolution question: lowercased
+    image and npz basenames under ``path``, each capped at 2 entries
+    (the decisions below only need none / exactly-one / several), with
+    an early exit once both caps are hit — a 120k-file synthetic dir is
+    not walked three times for one format decision."""
+    imgs: list[str] = []
+    npzs: list[str] = []
     for _d, _s, flist in os.walk(path):
         for fn in flist:
-            if fn.lower().endswith((".png", ".jpg", ".jpeg")):
-                return True
-    return False
-
-
-def _images_are_only_preview_grid(path: str) -> bool:
-    """True iff the ONLY image under ``path`` is ``samples.png`` next to
-    a ``generated.npz`` — the reference VAE-GAN sampler's exact layout
-    (``gan_models/vaegan/sample.py:53-59``: a 10x10 preview grid beside
-    the real 20k-sample array dump). Treating that grid as the synthetic
-    set silently attacks ONE image while the run claims thousands
-    (observed: rounds 4-5 measurement rows with n_syn=1)."""
-    imgs = []
-    has_gen_npz = False
-    for _d, _s, flist in os.walk(path):
-        for fn in flist:
-            if fn.lower().endswith((".png", ".jpg", ".jpeg")):
-                imgs.append(fn)
-                if len(imgs) > 1:
-                    return False
-            elif fn == "generated.npz":
-                has_gen_npz = True
-    return has_gen_npz and imgs == ["samples.png"]
+            low = fn.lower()
+            if low.endswith((".png", ".jpg", ".jpeg")):
+                if len(imgs) < 2:
+                    imgs.append(low)
+            elif low.endswith(".npz"):
+                if len(npzs) < 2:
+                    npzs.append(low)
+        if len(imgs) >= 2 and len(npzs) >= 2:
+            break
+    return imgs, npzs
 
 
 def resolve_input_format(path: str, fmt: str = "auto") -> str:
@@ -247,17 +238,26 @@ def resolve_input_format(path: str, fmt: str = "auto") -> str:
         raise ValueError(f"input_format must be auto/png/npz, got {fmt!r}")
     if os.path.isfile(path):
         return "npz" if path.endswith(".npz") else "png"
-    if _dir_has_image(path):
-        if _images_are_only_preview_grid(path):
-            return "npz"  # reference sampler layout: the png is a grid
-        if find_npz_files(path):
+    imgs, npzs = _scan_for_resolution(path)
+    if imgs:
+        if imgs == ["samples.png"] and npzs == ["generated.npz"]:
+            # the reference VAE-GAN sampler's exact layout
+            # (gan_models/vaegan/sample.py:53-59): a 10x10 preview grid
+            # beside the real sample array dump. Treating the grid as
+            # the synthetic set silently attacked ONE image while the
+            # run claimed thousands (rounds 4-5 measurement rows with
+            # n_syn=1). Requiring generated.npz to be the ONLY npz also
+            # pins the subsequent load to that file — with siblings the
+            # loader would concatenate every npz under the path.
+            return "npz"
+        if npzs:
             # ambiguous dir: images win by the documented rule, but say
             # so — a preview image beside an array dump has silently
-            # turned a 20k-sample attack into a 1-image attack before
+            # shrunk an attack's synthetic set before
             print(f"[io] {path!r} holds BOTH images and .npz files; "
                   f"attacking the IMAGES (input_format='npz' or an "
                   f"explicit .npz path selects the arrays)")
         return "png"
-    if find_npz_files(path):
+    if npzs:
         return "npz"
     return "png"

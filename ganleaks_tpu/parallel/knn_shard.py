@@ -385,8 +385,10 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
         feat_rows=q_block // n_dev,
         act_itemsize=max(2, jnp.dtype(probe[0].dtype).itemsize))
     if qb_planned != q_block:
-        # featurize blocks must still split n_dev ways
-        q_block = max(n_dev, -(-qb_planned // n_dev) * n_dev)
+        # featurize blocks must still split n_dev ways — round DOWN:
+        # rounding up would allocate rows beyond the cap the planner
+        # just fitted (at 1024px rows that is ~0.25 GB/chip per row)
+        q_block = max(n_dev, qb_planned // n_dev * n_dev)
     chunk_rows = max(q_block,
                      int(query_cache_bytes // max(1, row_bytes))
                      // q_block * q_block)
@@ -462,7 +464,11 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                 bufs = [zeros_rep((padded,) + tuple(p.shape[1:]), cdtype)
                         for p in probe]
                 rq = zeros_rep((padded,), jnp.float32)
-                jax.block_until_ready(rq)  # surface alloc failures HERE
+                # surface alloc failures HERE, on EVERY buffer: blocking
+                # only on the small rq let a failed multi-GB bufs alloc
+                # escape as a deferred error past this resume (the
+                # single-chip twin documents the observed case)
+                jax.block_until_ready((bufs, rq))
             except Exception as e:
                 if not _is_oom(e):
                     raise
@@ -478,8 +484,16 @@ def _mesh_stream_search(embed_fn, queries, syn, mesh: Mesh, *, axis: str,
                     chunk_rows = q_block
                 else:
                     raise
+                # drop references a failed attempt left bound in this
+                # frame, and fence so in-flight work drains before the
+                # retry allocation — otherwise the retry competes with
+                # the failed buffers still pinning HBM and the halving
+                # cascades to the floor (single-chip discipline)
+                bufs = rq = None  # noqa: F841
                 if query_reuse:  # held HBM this recovery needs back
                     query_reuse.clear()
+                if not _free_fence():
+                    raise
                 print(f"[knn-mesh] query cache allocation OOM; "
                       f"chunk_rows={chunk_rows}, q_block={q_block} "
                       f"(more synthetic sweeps)")

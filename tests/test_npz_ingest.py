@@ -299,3 +299,34 @@ def test_vaegan_sample_dir_resolves_to_npz(tmp_path):
                  str(d2 / f"im{i}.png"), drange=(-1, 1))
     np.savez(d2 / "stats.npz", mu=np.zeros(3))
     assert resolve_input_format(str(d2)) == "png"
+
+
+def test_preview_grid_detection_edge_cases(tmp_path):
+    """Round-5 review hardening: (a) the grid filename matches
+    case-insensitively (a 'Samples.PNG' grid must not silently revive
+    the n_syn=1 bug); (b) a SIBLING npz beside generated.npz disables
+    the flip — resolving the dir to npz would make the loader
+    concatenate every npz under it (e.g. query dumps) into the
+    synthetic set."""
+    from ganleaks_tpu.io.images import save_png
+    from ganleaks_tpu.io.npz import resolve_input_format
+
+    rng = np.random.default_rng(1)
+
+    d = tmp_path / "upper"
+    d.mkdir()
+    np.savez(d / "generated.npz",
+             img_r01=rng.uniform(size=(4, 8, 8, 3)).astype(np.float32))
+    save_png(rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32),
+             str(d / "Samples.PNG"), drange=(-1, 1))
+    assert resolve_input_format(str(d)) == "npz"
+
+    d2 = tmp_path / "sibling"
+    d2.mkdir()
+    np.savez(d2 / "generated.npz",
+             img_r01=rng.uniform(size=(4, 8, 8, 3)).astype(np.float32))
+    np.savez(d2 / "pos.npz",
+             images=rng.uniform(size=(4, 8, 8, 3)).astype(np.float32))
+    save_png(rng.uniform(-1, 1, (8, 8, 3)).astype(np.float32),
+             str(d2 / "samples.png"), drange=(-1, 1))
+    assert resolve_input_format(str(d2)) == "png"
